@@ -1,0 +1,252 @@
+"""Command-line interface.
+
+One CLI replaces the reference's two ad-hoc argparse scripts (main.py,
+pixelcnn/gated_pixelcnn.py) and adds the pipelines the reference only
+describes: latent extraction (README.md:53-58) and end-to-end sampling.
+
+    python -m vqvae_tpu.cli train-vqvae [--batch_size 32 --n_updates 5000 ...]
+    python -m vqvae_tpu.cli extract-latents --checkpoint results/...npz
+    python -m vqvae_tpu.cli train-prior [--epochs 100 ...]
+    python -m vqvae_tpu.cli sample --vqvae-checkpoint ... --prior-checkpoint ...
+    python -m vqvae_tpu.cli benchmark
+
+Flag names/defaults mirror the reference's (main.py:16-30,
+gated_pixelcnn.py:27-42) so reference invocations translate 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+from vqvae_tpu.config import MeshConfig, PixelCNNConfig, TrainConfig, VQVAEConfig
+
+
+def _add_vqvae_flags(p: argparse.ArgumentParser):
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--n_updates", type=int, default=5000)
+    p.add_argument("--n_hiddens", type=int, default=128)
+    p.add_argument("--n_residual_hiddens", type=int, default=32)
+    p.add_argument("--n_residual_layers", type=int, default=2)
+    p.add_argument("--embedding_dim", type=int, default=64)
+    p.add_argument("--n_embeddings", type=int, default=512)
+    p.add_argument("--beta", type=float, default=0.25)
+    p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--log_interval", type=int, default=50)
+    p.add_argument("--dataset", type=str, default="CIFAR10")
+    p.add_argument("-save", action="store_true")
+    p.add_argument("--filename", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--share_residual_weights", action="store_true",
+                   help="strict parity with the reference's accidental weight sharing")
+
+
+def _mesh_flags(p: argparse.ArgumentParser):
+    p.add_argument("--n_data", type=int, default=None, help="devices on the data axis")
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
+def _mesh_cfg(args) -> MeshConfig:
+    return MeshConfig(
+        n_data=args.n_data,
+        distributed=args.distributed,
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+
+def cmd_train_vqvae(args) -> int:
+    from vqvae_tpu.parallel.distributed import maybe_initialize_distributed
+    from vqvae_tpu.train.vqvae_train import train_vqvae
+
+    mesh_cfg = _mesh_cfg(args)
+    maybe_initialize_distributed(mesh_cfg)
+    vq_cfg = VQVAEConfig(
+        n_hiddens=args.n_hiddens,
+        n_residual_hiddens=args.n_residual_hiddens,
+        n_residual_layers=args.n_residual_layers,
+        embedding_dim=args.embedding_dim,
+        n_embeddings=args.n_embeddings,
+        beta=args.beta,
+        share_residual_weights=args.share_residual_weights,
+        compute_dtype=args.compute_dtype,
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        n_updates=args.n_updates,
+        learning_rate=args.learning_rate,
+        log_interval=args.log_interval,
+        dataset=args.dataset,
+        seed=args.seed,
+        save=args.save,
+        filename=args.filename,
+        data_dir=args.data_dir,
+        results_dir=args.results_dir,
+    )
+    if args.save:
+        name = args.filename or "run"
+        print(f"Results will be saved in ./{args.results_dir}/vqvae_{name}_step*.npz")
+    train_vqvae(vq_cfg, train_cfg, mesh_cfg)
+    return 0
+
+
+def cmd_extract_latents(args) -> int:
+    from vqvae_tpu.data.datasets import load_dataset
+    from vqvae_tpu.pipelines.extract import extract_latents
+    from vqvae_tpu.train.checkpoint import load_checkpoint
+    from vqvae_tpu.train.vqvae_train import TrainConfig as _TC, VQVAETrainer
+
+    train_ds, val_ds, x_train_var, _info = load_dataset(args.dataset, args.data_dir)
+    vq_cfg = VQVAEConfig(
+        n_hiddens=args.n_hiddens,
+        n_residual_hiddens=args.n_residual_hiddens,
+        n_residual_layers=args.n_residual_layers,
+        embedding_dim=args.embedding_dim,
+        n_embeddings=args.n_embeddings,
+        beta=args.beta,
+        share_residual_weights=args.share_residual_weights,
+    )
+    trainer = VQVAETrainer(vq_cfg, TrainConfig(), x_train_var=x_train_var)
+    template = trainer.init_state()
+    state, step, _, _ = load_checkpoint(args.checkpoint, template)
+    out = args.out or f"{args.data_dir}/latent_e_indices.npy"
+    data = np.concatenate([train_ds.data, val_ds.data])
+    codes = extract_latents(trainer, state, data, batch_size=args.extract_batch, out_path=out)
+    print(f"Saved {codes.shape} code grids from step-{step} checkpoint to {out}")
+    return 0
+
+
+def cmd_train_prior(args) -> int:
+    from vqvae_tpu.data.datasets import load_dataset
+    from vqvae_tpu.train.pixelcnn_train import train_pixelcnn
+
+    train_ds, val_ds, _var, _info = load_dataset("LATENT_BLOCK", args.data_dir)
+    cfg = PixelCNNConfig(
+        input_dim=args.n_embeddings,
+        dim=args.img_dim ** 2,
+        n_layers=args.n_layers,
+        img_dim=args.img_dim,
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        log_interval=args.log_interval,
+        save=args.save,
+        data_dir=args.data_dir,
+        results_dir=args.results_dir,
+        seed=args.seed,
+    )
+    save_path = f"{args.results_dir}/latent_block_pixelcnn.npz"
+    train_pixelcnn(cfg, train_cfg, train_ds, val_ds, save_path=save_path)
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from vqvae_tpu.pipelines.sample import sample_images
+    from vqvae_tpu.train.checkpoint import load_checkpoint
+    from vqvae_tpu.train.pixelcnn_train import PixelCNNTrainer
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+    import jax
+
+    vq_cfg = VQVAEConfig(
+        n_hiddens=args.n_hiddens,
+        n_residual_hiddens=args.n_residual_hiddens,
+        n_residual_layers=args.n_residual_layers,
+        embedding_dim=args.embedding_dim,
+        n_embeddings=args.n_embeddings,
+        beta=args.beta,
+        share_residual_weights=args.share_residual_weights,
+    )
+    pc_cfg = PixelCNNConfig(
+        input_dim=args.n_embeddings, dim=args.img_dim ** 2,
+        n_layers=args.n_layers, img_dim=args.img_dim,
+    )
+    vq_trainer = VQVAETrainer(vq_cfg, TrainConfig())
+    vq_state, _, _, _ = load_checkpoint(args.vqvae_checkpoint, vq_trainer.init_state())
+    pc_trainer = PixelCNNTrainer(pc_cfg, TrainConfig())
+    pc_state, _, _, _ = load_checkpoint(args.prior_checkpoint, pc_trainer.init_state())
+
+    labels = np.arange(10).repeat(args.n_samples // 10).astype(np.int32)
+    images, codes = sample_images(
+        vq_trainer, vq_state, pc_trainer, pc_state, labels,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    out = args.out or "samples/samples.npz"
+    import os
+
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savez(out, images=images, codes=codes, labels=labels)
+    print(f"Saved {images.shape[0]} samples to {out}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vqvae_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    tv = sub.add_parser("train-vqvae", help="train the VQ-VAE (reference main.py)")
+    _add_vqvae_flags(tv)
+    _mesh_flags(tv)
+    tv.set_defaults(fn=cmd_train_vqvae)
+
+    ex = sub.add_parser("extract-latents", help="dataset -> code indices .npy")
+    _add_vqvae_flags(ex)
+    ex.add_argument("--checkpoint", type=str, required=True)
+    ex.add_argument("--out", type=str, default=None)
+    ex.add_argument("--extract_batch", type=int, default=256)
+    ex.set_defaults(fn=cmd_extract_latents)
+
+    tp = sub.add_parser("train-prior", help="train GatedPixelCNN on latents")
+    tp.add_argument("--batch_size", type=int, default=32)
+    tp.add_argument("--epochs", type=int, default=100)
+    tp.add_argument("--log_interval", type=int, default=100)
+    tp.add_argument("-save", action="store_true")
+    tp.add_argument("--img_dim", type=int, default=8)
+    tp.add_argument("--n_embeddings", type=int, default=512)
+    tp.add_argument("--n_layers", type=int, default=15)
+    tp.add_argument("--learning_rate", type=float, default=3e-4)
+    tp.add_argument("--seed", type=int, default=0)
+    tp.add_argument("--data_dir", type=str, default="data")
+    tp.add_argument("--results_dir", type=str, default="results")
+    tp.set_defaults(fn=cmd_train_prior)
+
+    sm = sub.add_parser("sample", help="AR sample codes -> decode images")
+    _add_vqvae_flags(sm)
+    sm.add_argument("--img_dim", type=int, default=8)
+    sm.add_argument("--n_layers", type=int, default=15)
+    sm.add_argument("--vqvae-checkpoint", type=str, required=True)
+    sm.add_argument("--prior-checkpoint", type=str, required=True)
+    sm.add_argument("--n_samples", type=int, default=100)
+    sm.add_argument("--out", type=str, default=None)
+    sm.set_defaults(fn=cmd_sample)
+
+    bm = sub.add_parser("benchmark", help="run bench.py")
+    bm.set_defaults(fn=cmd_benchmark)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

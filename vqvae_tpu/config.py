@@ -1,0 +1,106 @@
+"""Configuration dataclasses.
+
+One dataclass-based config system replaces the reference's two separate argparse
+flag sets (reference: main.py:16-30, pixelcnn/gated_pixelcnn.py:27-42). Defaults
+are the reference defaults verbatim so that default runs are parity runs.
+Configs serialize to/from plain dicts and are persisted inside checkpoints
+(mirroring the reference storing ``args.__dict__`` — main.py:91-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _asdict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+class _DictMixin:
+    def to_dict(self) -> Dict[str, Any]:
+        return _asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class VQVAEConfig(_DictMixin):
+    """VQ-VAE model hyperparameters (reference defaults: main.py:16-25)."""
+
+    in_channels: int = 3
+    n_hiddens: int = 128            # h_dim
+    n_residual_hiddens: int = 32    # res_h_dim
+    n_residual_layers: int = 2
+    embedding_dim: int = 64
+    n_embeddings: int = 512
+    beta: float = 0.25
+    # The reference accidentally shares one ResidualLayer's weights across the
+    # whole stack (reference models/residual.py:44-45 uses [layer]*n). We default
+    # to independent weights (the intended architecture); flip this for strict
+    # parameter-count parity with the reference.
+    share_residual_weights: bool = False
+    # Compute dtype for conv stacks ("float32" or "bfloat16"); params stay fp32.
+    compute_dtype: str = "float32"
+    # Use the fused Pallas quantizer kernel (falls back to the pure-jnp path
+    # automatically on non-TPU backends).
+    fused_quantizer: bool = True
+
+
+@dataclass(frozen=True)
+class PixelCNNConfig(_DictMixin):
+    """GatedPixelCNN prior hyperparameters (reference pixelcnn/gated_pixelcnn.py:27-42,69)."""
+
+    input_dim: int = 512            # number of discrete codes (n_embeddings)
+    dim: int = 64                   # reference sets dim = img_dim**2 = 64
+    n_layers: int = 15
+    n_classes: int = 10
+    img_dim: int = 8                # latent grid side
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig(_DictMixin):
+    """Training-loop hyperparameters (reference defaults: main.py:16-30)."""
+
+    batch_size: int = 32
+    n_updates: int = 5000
+    learning_rate: float = 3e-4     # Adam(amsgrad) — main.py:55
+    log_interval: int = 50
+    dataset: str = "CIFAR10"        # CIFAR10 | BLOCK | LATENT_BLOCK
+    seed: int = 0
+    save: bool = False
+    filename: Optional[str] = None
+    data_dir: str = "data"
+    results_dir: str = "results"
+    # PixelCNN-prior loop extras (reference pixelcnn/gated_pixelcnn.py:27-42)
+    epochs: int = 100
+    gen_samples: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig(_DictMixin):
+    """Device-mesh / parallelism settings (new-framework-only; reference is single device).
+
+    The VQ-VAE parallelism scheme: batch sharded over the ``data`` axis, params
+    and codebook replicated; XLA inserts gradient all-reduces over ICI.
+    """
+
+    data_axis: str = "data"
+    # None => use all available devices on the data axis.
+    n_data: Optional[int] = None
+    # Multi-host bootstrap (jax.distributed.initialize) — off by default.
+    distributed: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+
+__all__ = ["VQVAEConfig", "PixelCNNConfig", "TrainConfig", "MeshConfig"]

@@ -1,0 +1,151 @@
+"""The vector-quantization bottleneck.
+
+Reproduces the math of the reference ``VectorQuantizer.forward``
+(reference models/quantizer.py:29-76) exactly, re-designed TPU-first:
+
+- NHWC input (B, H, W, D) — no permutes needed (the reference permutes
+  NCHW->NHWC and back; we are NHWC-native).
+- The hot path — pairwise-L2 distances + argmin + codebook gather — is a single
+  op ``nearest_code`` with a ``custom_vjp`` whose backward matches torch
+  autodiff through ``one_hot @ codebook``: grad w.r.t. the codebook is a
+  scatter-add of the cotangent over assigned rows; grad w.r.t. z is zero
+  (argmin/one-hot are non-differentiable). On TPU it dispatches to the fused
+  Pallas kernel (ops/pallas_quantizer.py); elsewhere (and for testing) it uses
+  the pure-jnp path, which XLA fuses well on its own.
+- Loss terms, the straight-through estimator, and perplexity mirror the
+  reference exactly:
+    loss = mean((sg[z_q] - z)^2) + beta * mean((z_q - sg[z])^2)
+      (reference models/quantizer.py:63-64 — note the reference puts the
+       *encoder*-gradient term first with coefficient 1 and the
+       *codebook*-gradient term second with coefficient beta)
+    z_q_ste = z + sg[z_q - z]                  (models/quantizer.py:67)
+    perplexity = exp(-sum(p log(p + 1e-10)))   (models/quantizer.py:70-71)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizeOutput(NamedTuple):
+    loss: jnp.ndarray          # scalar embedding loss
+    z_q: jnp.ndarray           # (B, H, W, D) straight-through quantized latents
+    perplexity: jnp.ndarray    # scalar codebook-usage perplexity
+    indices: jnp.ndarray       # (B, H, W) int32 code indices
+    counts: jnp.ndarray        # (K,) per-code assignment counts (for usage stats)
+
+
+# ---------------------------------------------------------------------------
+# nearest_code: dist + argmin + gather with reference-autodiff-matching vjp
+# ---------------------------------------------------------------------------
+
+
+def _nearest_code_fwd_jnp(z_flat: jnp.ndarray, codebook: jnp.ndarray):
+    """Pure-jnp forward: (N, D), (K, D) -> ((N, D) z_q, (N,) int32 indices).
+
+    Distance expansion ||z - e||^2 = z^2 + e^2 - 2 z.e (the z^2 row-constant is
+    dropped — it cannot change the argmin), exactly the reference's expansion
+    (models/quantizer.py:49-51) minus the per-row constant.
+    """
+    scores = jnp.sum(codebook * codebook, axis=1)[None, :] - 2.0 * (
+        z_flat @ codebook.T
+    )
+    indices = jnp.argmin(scores, axis=1).astype(jnp.int32)
+    z_q = jnp.take(codebook, indices, axis=0)
+    return z_q, indices
+
+
+def nearest_code_jnp(z_flat: jnp.ndarray, codebook: jnp.ndarray):
+    """Reference (unfused) implementation; the parity oracle for the Pallas kernel."""
+    return _nearest_code_fwd_jnp(z_flat, codebook)
+
+
+@jax.custom_vjp
+def nearest_code(z_flat: jnp.ndarray, codebook: jnp.ndarray):
+    """Fused dist+argmin+gather. Differentiable like ``one_hot(argmin) @ codebook``.
+
+    z_flat: (N, D) float; codebook: (K, D) float.
+    Returns (z_q (N, D), indices (N,) int32).
+    """
+    return _dispatch_forward(z_flat, codebook)
+
+
+def _dispatch_forward(z_flat, codebook):
+    if _use_pallas():
+        from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
+
+        return nearest_code_pallas(z_flat, codebook)
+    return _nearest_code_fwd_jnp(z_flat, codebook)
+
+
+_FORCE_JNP = False
+
+
+def _use_pallas() -> bool:
+    if _FORCE_JNP:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _nearest_code_vjp_fwd(z_flat, codebook):
+    z_q, indices = _dispatch_forward(z_flat, codebook)
+    return (z_q, indices), (indices, codebook)
+
+
+def _nearest_code_vjp_bwd(residuals, cotangents):
+    indices, codebook = residuals
+    g_zq, _g_idx = cotangents
+    # d(one_hot @ E)/dE — scatter-add of cotangent rows into assigned codes.
+    d_codebook = jax.ops.segment_sum(
+        g_zq.astype(codebook.dtype), indices, num_segments=codebook.shape[0]
+    )
+    d_z = jnp.zeros_like(g_zq)
+    return d_z, d_codebook
+
+
+nearest_code.defvjp(_nearest_code_vjp_fwd, _nearest_code_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full quantize op
+# ---------------------------------------------------------------------------
+
+
+def quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float) -> QuantizeOutput:
+    """The complete VQ bottleneck on an NHWC latent map.
+
+    z: (B, H, W, D) encoder output (post pre-quantization conv);
+    codebook: (K, D).
+    """
+    b, h, w, d = z.shape
+    k = codebook.shape[0]
+    z_flat = z.reshape(-1, d)
+
+    z_q_flat, idx_flat = nearest_code(z_flat, codebook)
+    z_q = z_q_flat.reshape(b, h, w, d)
+    indices = idx_flat.reshape(b, h, w)
+
+    sg = jax.lax.stop_gradient
+    # Reference loss ordering/coefficients (models/quantizer.py:63-64).
+    loss = jnp.mean((sg(z_q) - z) ** 2) + beta * jnp.mean((z_q - sg(z)) ** 2)
+
+    # Straight-through estimator (models/quantizer.py:67).
+    z_q_ste = z + sg(z_q - z)
+
+    # Perplexity over the batch code histogram (models/quantizer.py:70-71).
+    counts = jnp.zeros((k,), dtype=z.dtype).at[idx_flat].add(1.0)
+    e_mean = counts / idx_flat.shape[0]
+    perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+
+    return QuantizeOutput(
+        loss=loss, z_q=z_q_ste, perplexity=perplexity, indices=indices, counts=counts
+    )
+
+
+__all__ = ["quantize", "nearest_code", "nearest_code_jnp", "QuantizeOutput"]

@@ -1,0 +1,116 @@
+"""Checkpoint save/restore.
+
+The reference saves ``{'model': state_dict, 'results': metrics, 'hyperparameters':
+args}`` via torch.save every log_interval (reference utils.py:106-115,
+main.py:86-93) and only ever loads in the notebook. Here the same contract —
+params + optimizer state + step + metric history + configs — round-trips
+through a single atomic .npz (flattened pytree leaves) + JSON metadata, with a
+resume path the reference lacks:
+
+- atomic: write to a temp file then rename, so a crash never corrupts the
+  latest checkpoint (failure-recovery — SURVEY.md §5).
+- multi-host: only process 0 writes (state is replicated); every host can read.
+- ``latest_checkpoint`` + step-tagged filenames give resume-from-latest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_state(state) -> Tuple[Dict[str, np.ndarray], Any]:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    return arrays, treedef
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    step: int,
+    metrics: Optional[Dict] = None,
+    hyperparameters: Optional[Dict] = None,
+) -> str:
+    """Save a pytree ``state`` (params/opt_state/...) with metadata, atomically."""
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays, _ = _flatten_state(state)
+    meta = {
+        "step": int(step),
+        "metrics": metrics or {},
+        "hyperparameters": hyperparameters or {},
+        "n_leaves": len(arrays),
+    }
+    dirname = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez(tmp, __meta__=json.dumps(meta), **arrays)
+        # np.savez appends .npz when missing; mkstemp name already ends in .npz
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return path
+
+
+def load_checkpoint(path: str, state_template) -> Tuple[Any, int, Dict, Dict]:
+    """Restore into the structure of ``state_template``.
+
+    Returns (state, step, metrics, hyperparameters).
+    """
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        leaves_t, treedef = jax.tree_util.tree_flatten(state_template)
+        n = meta["n_leaves"]
+        if n != len(leaves_t):
+            raise ValueError(
+                f"checkpoint has {n} leaves, template has {len(leaves_t)}"
+            )
+        leaves = [np.asarray(data[f"leaf_{i}"]) for i in range(n)]
+        for i, (saved, tmpl) in enumerate(zip(leaves, leaves_t)):
+            if hasattr(tmpl, "shape") and tuple(saved.shape) != tuple(tmpl.shape):
+                raise ValueError(
+                    f"leaf {i}: checkpoint shape {saved.shape} != template {tmpl.shape}"
+                )
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, meta["step"], meta.get("metrics", {}), meta.get("hyperparameters", {})
+
+
+_CKPT_RE = re.compile(r"_step(\d+)\.npz$")
+
+
+def checkpoint_path(results_dir: str, name: str, step: int) -> str:
+    return os.path.join(results_dir, f"vqvae_{name}_step{step}.npz")
+
+
+def latest_checkpoint(results_dir: str, name: str) -> Optional[str]:
+    """Newest step-tagged checkpoint for ``name``, or None."""
+    if not os.path.isdir(results_dir):
+        return None
+    best, best_step = None, -1
+    prefix = f"vqvae_{name}_step"
+    for fn in os.listdir(results_dir):
+        if not fn.startswith(prefix):
+            continue
+        m = _CKPT_RE.search(fn)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(results_dir, fn)
+    return best
+
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "checkpoint_path",
+]

@@ -1,0 +1,207 @@
+"""GatedPixelCNN prior training (reference pixelcnn/gated_pixelcnn.py:78-169).
+
+Epoch-based loop over LATENT_BLOCK code grids with cross-entropy over the
+codebook classes, plain Adam (the prior uses no amsgrad — reference
+gated_pixelcnn.py:71), per-epoch validation, and best-validation-loss
+checkpointing (gated_pixelcnn.py:153-169). The step is jitted with the same
+mesh shardings as the VQ-VAE trainer.
+
+Loss parity: CE over logits reshaped to (B*H*W, n_embeddings) against the
+flattened grid (gated_pixelcnn.py:92-97) == mean softmax cross-entropy.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqvae_tpu.config import MeshConfig, PixelCNNConfig, TrainConfig
+from vqvae_tpu.data.datasets import ArrayDataset
+from vqvae_tpu.data.sampler import EpochSampler
+from vqvae_tpu.models.pixelcnn import GatedPixelCNN
+from vqvae_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from vqvae_tpu.train.checkpoint import save_checkpoint
+
+
+class PixelCNNState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class PixelCNNTrainer:
+    def __init__(
+        self,
+        cfg: PixelCNNConfig = PixelCNNConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        mesh_cfg: MeshConfig = MeshConfig(),
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.train_cfg = train_cfg
+        self.mesh_cfg = mesh_cfg
+        self.model = GatedPixelCNN(cfg)
+        self.tx = optax.adam(train_cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            mesh_cfg.n_data, mesh_cfg.data_axis
+        )
+        self._rep = replicated_sharding(self.mesh)
+        self._batch_shard = batch_sharding(self.mesh, mesh_cfg.data_axis)
+        self._train_step = jax.jit(
+            self._step_impl,
+            in_shardings=(self._rep, self._batch_shard, self._batch_shard),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            self._loss_impl,
+            in_shardings=(self._rep, self._batch_shard, self._batch_shard),
+            out_shardings=self._rep,
+        )
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> PixelCNNState:
+        if rng is None:
+            rng = jax.random.PRNGKey(self.train_cfg.seed)
+        d = self.cfg.img_dim
+        dummy_x = jnp.zeros((1, d, d), jnp.int32)
+        dummy_l = jnp.zeros((1,), jnp.int32)
+        params = self.model.init(rng, dummy_x, dummy_l)["params"]
+        opt_state = self.tx.init(params)
+        return jax.device_put(
+            PixelCNNState(params, opt_state, jnp.zeros((), jnp.int32)), self._rep
+        )
+
+    def _loss_impl(self, params_or_state, x, label):
+        params = (
+            params_or_state.params
+            if isinstance(params_or_state, PixelCNNState)
+            else params_or_state
+        )
+        logits = self.model.apply({"params": params}, x, label)  # (B,H,W,K)
+        k = logits.shape[-1]
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, k), x.reshape(-1)
+        )
+        return jnp.mean(ce)
+
+    def _step_impl(self, state: PixelCNNState, x, label):
+        loss, grads = jax.value_and_grad(self._loss_impl)(state.params, x, label)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return PixelCNNState(params, opt_state, state.step + 1), loss
+
+    def step(self, state, x_np, label_np):
+        x = shard_batch(np.asarray(x_np, np.int32), self.mesh, self.mesh_cfg.data_axis)
+        lab = shard_batch(
+            np.asarray(label_np, np.int32), self.mesh, self.mesh_cfg.data_axis
+        )
+        return self._train_step(state, x, lab)
+
+    def eval_loss(self, state, x_np, label_np):
+        x = shard_batch(np.asarray(x_np, np.int32), self.mesh, self.mesh_cfg.data_axis)
+        lab = shard_batch(
+            np.asarray(label_np, np.int32), self.mesh, self.mesh_cfg.data_axis
+        )
+        return self._eval_step(state, x, lab)
+
+    def generate(self, state, labels_np, rng=None, shape=None):
+        """Jitted scan-based AR sampling (see models/pixelcnn.py generate)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(int(time.time()))
+        shape = shape or (self.cfg.img_dim, self.cfg.img_dim)
+        labels = jnp.asarray(labels_np, jnp.int32)
+
+        @jax.jit
+        def gen(params, labels, rng):
+            return self.model.apply(
+                {"params": params},
+                labels,
+                rng,
+                shape,
+                labels.shape[0],
+                method=self.model.generate,
+            )
+
+        return np.asarray(gen(state.params, labels, rng))
+
+
+def train_pixelcnn(
+    cfg: PixelCNNConfig,
+    train_cfg: TrainConfig,
+    train_ds: ArrayDataset,
+    val_ds: ArrayDataset,
+    mesh_cfg: MeshConfig = MeshConfig(),
+    verbose: bool = True,
+    save_path: Optional[str] = None,
+) -> Tuple[PixelCNNState, Dict]:
+    """Best-val epoch loop (reference gated_pixelcnn.py:153-169)."""
+    trainer = PixelCNNTrainer(cfg, train_cfg, mesh_cfg)
+    state = trainer.init_state()
+
+    # The reference pads/crops grids to batches without resizing; batches here
+    # must be uniform for jit, so the tail batch is dropped (drop_last).
+    train_sampler = EpochSampler(
+        len(train_ds), train_cfg.batch_size, seed=train_cfg.seed, drop_last=True,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
+    )
+    val_sampler = EpochSampler(
+        len(val_ds), train_cfg.batch_size, seed=train_cfg.seed + 1, shuffle=False,
+        drop_last=True, num_shards=jax.process_count(), shard_id=jax.process_index(),
+    )
+
+    best_loss, last_saved = float("inf"), -1
+    history = {"train_loss": [], "val_loss": []}
+    for epoch in range(1, train_cfg.epochs):
+        if verbose:
+            print(f"\nEpoch {epoch}:", flush=True)
+        epoch_losses = []
+        t0 = time.time()
+        for bi, idx in enumerate(train_sampler.epoch()):
+            x = train_ds.data[idx]
+            labels = train_ds.labels[idx]
+            state, loss = trainer.step(state, x, labels)
+            epoch_losses.append(loss)
+            if verbose and (bi + 1) % train_cfg.log_interval == 0:
+                window = [float(v) for v in epoch_losses[-train_cfg.log_interval:]]
+                print(
+                    f"\tIter [{bi + 1}] Loss: {np.mean(window):.6f} "
+                    f"Time: {time.time() - t0:.2f}",
+                    flush=True,
+                )
+        history["train_loss"].append(float(np.mean([float(v) for v in epoch_losses])))
+
+        val_losses = [
+            float(trainer.eval_loss(state, val_ds.data[idx], val_ds.labels[idx]))
+            for idx in val_sampler.epoch()
+        ]
+        cur = float(np.mean(val_losses)) if val_losses else float("inf")
+        history["val_loss"].append(cur)
+        if verbose:
+            print(f"Validation Completed!\tLoss: {cur:.6f}", flush=True)
+
+        if train_cfg.save or cur <= best_loss:
+            best_loss, last_saved = min(cur, best_loss), epoch
+            if save_path:
+                save_checkpoint(
+                    save_path, state, epoch,
+                    metrics=history, hyperparameters=cfg.to_dict(),
+                )
+                if verbose:
+                    print("Saving model!", flush=True)
+        elif verbose:
+            print(f"Not saving model! Last saved: {last_saved}", flush=True)
+
+    return state, {"history": history, "best_val_loss": best_loss, "trainer": trainer}
+
+
+__all__ = ["PixelCNNTrainer", "PixelCNNState", "train_pixelcnn"]
