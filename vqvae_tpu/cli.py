@@ -45,6 +45,8 @@ def _add_vqvae_flags(p: argparse.ArgumentParser):
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--share_residual_weights", action="store_true",
                    help="strict parity with the reference's accidental weight sharing")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint for this filename")
 
 
 def _mesh_flags(p: argparse.ArgumentParser):
@@ -96,7 +98,7 @@ def cmd_train_vqvae(args) -> int:
     if args.save:
         name = args.filename or "run"
         print(f"Results will be saved in ./{args.results_dir}/vqvae_{name}_step*.npz")
-    train_vqvae(vq_cfg, train_cfg, mesh_cfg)
+    train_vqvae(vq_cfg, train_cfg, mesh_cfg, resume=args.resume)
     return 0
 
 
@@ -198,6 +200,32 @@ def cmd_benchmark(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_viz(args) -> int:
+    """Metric curves + reconstructions from a checkpoint (the notebook's eval
+    surface — visualization.ipynb cells 1-8)."""
+    from vqvae_tpu.data.datasets import load_dataset
+    from vqvae_tpu.pipelines.viz import (
+        load_model,
+        plot_metrics,
+        reconstruct,
+        save_image_grid,
+    )
+
+    trainer, state, metrics, hp = load_model(args.checkpoint)
+    outdir = args.out_dir
+    if metrics:
+        p = plot_metrics(metrics, f"{outdir}/metrics.png")
+        print(f"Wrote {p}")
+    _train, val, _var, _info = load_dataset(
+        hp.get("dataset", "CIFAR10"), args.data_dir
+    )
+    batch = val.data[: args.n_images]
+    recons = reconstruct(trainer, state, batch)
+    print(f"Wrote {save_image_grid(batch, f'{outdir}/originals.png')}")
+    print(f"Wrote {save_image_grid(recons, f'{outdir}/reconstructions.png')}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vqvae_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -240,6 +268,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     bm = sub.add_parser("benchmark", help="run bench.py")
     bm.set_defaults(fn=cmd_benchmark)
+
+    vz = sub.add_parser("viz", help="metric curves + reconstructions from a checkpoint")
+    vz.add_argument("--checkpoint", type=str, required=True)
+    vz.add_argument("--out_dir", type=str, default="results/viz")
+    vz.add_argument("--data_dir", type=str, default="data")
+    vz.add_argument("--n_images", type=int, default=16)
+    vz.set_defaults(fn=cmd_viz)
     return p
 
 

@@ -1,14 +1,22 @@
 """Residual blocks (reference models/residual.py, re-designed NHWC/functional).
 
-ResidualLayer: x + Conv1x1(ReLU(Conv3x3(ReLU(x)))), both convs bias-free
-(reference models/residual.py:16-29). ResidualStack applies ``n`` layers then a
-final ReLU (reference models/residual.py:47-51).
+ResidualLayer (reference models/residual.py:16-29): the reference writes
+``x + res_block(x)`` with res_block = [ReLU(inplace), Conv3x3(bias=False),
+ReLU(inplace), Conv1x1(bias=False)] — but the INPLACE first ReLU mutates ``x``
+itself before the addition, so the function actually computed (verified
+empirically against torch) is
 
-The reference builds its stack as ``[ResidualLayer(...)]*n`` which aliases ONE
-module across the stack, so all layers share weights (models/residual.py:44-45
-— an accident of Python list multiplication). We default to independent weights
-per layer (the intended architecture); set ``share_weights=True`` for strict
-parity with the reference's parameterization.
+    relu(x) + Conv1x1(ReLU(Conv3x3(relu(x))))
+
+i.e. the skip connection carries relu(x), not x. We reproduce that exact
+behavior (it is what every trained reference checkpoint encodes).
+
+ResidualStack applies ``n`` layers then a final ReLU (models/residual.py:47-51).
+The reference also builds its stack as ``[ResidualLayer(...)]*n`` which
+aliases ONE module across the stack, so all layers share weights
+(models/residual.py:44-45 — an accident of Python list multiplication). We
+default to independent weights per layer (the intended architecture); set
+``share_weights=True`` for strict parity with the reference's parameterization.
 """
 
 from __future__ import annotations
@@ -37,9 +45,11 @@ class ResidualLayer(nn.Module):
             torch_conv_kernel_init(self.res_h_dim * 1 * 1),
             (1, 1, self.res_h_dim, self.h_dim),
         )
-        h = conv2d(nn.relu(x), w1, stride=1, padding=1)
+        # reference-exact: the inplace ReLU turns the skip into relu(x) too
+        xr = nn.relu(x)
+        h = conv2d(xr, w1, stride=1, padding=1)
         h = conv2d(nn.relu(h), w2, stride=1, padding=0)
-        return x + h
+        return xr + h
 
 
 class ResidualStack(nn.Module):

@@ -61,10 +61,20 @@ class VQVAE(nn.Module):
             share_residual_weights=cfg.share_residual_weights,
         )
 
+    @property
+    def _compute_dtype(self):
+        return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+
     def encode(self, x) -> jnp.ndarray:
-        """x (B, H, W, 3) -> continuous latents z_e (B, h, w, e_dim)."""
-        z_e = self.encoder(x)
-        return conv2d(z_e, self.pre_quant_w, self.pre_quant_b)
+        """x (B, H, W, 3) -> continuous latents z_e (B, h, w, e_dim).
+
+        Conv stacks run in ``config.compute_dtype`` (bf16 feeds the MXU at
+        full rate); the quantizer input is always cast back to fp32 so code
+        assignment and losses keep reference precision.
+        """
+        z_e = self.encoder(x.astype(self._compute_dtype))
+        z_e = conv2d(z_e, self.pre_quant_w, self.pre_quant_b)
+        return z_e.astype(jnp.float32)
 
     def quantize(self, z_e) -> QuantizeOutput:
         return quantize(z_e, self.codebook, self.config.beta)
@@ -74,7 +84,7 @@ class VQVAE(nn.Module):
         return self.quantize(self.encode(x)).indices
 
     def decode(self, z_q) -> jnp.ndarray:
-        return self.decoder(z_q)
+        return self.decoder(z_q.astype(self._compute_dtype)).astype(jnp.float32)
 
     def decode_codes(self, indices) -> jnp.ndarray:
         """(B, h, w) int32 code grid -> decoded images (sampling pipeline)."""

