@@ -76,3 +76,31 @@ def test_epoch_sampler_covers_all():
     batches = list(s2.epoch())
     assert all(len(b) == 32 for b in batches)
     assert len(batches) == 3
+
+
+def test_block_dataset_loader(tmp_path):
+    """BLOCK format: object array where x[0][0] is an (H, W, >=3) frame,
+    resized to 32x32, 90/10 split (reference datasets/block.py:6-32)."""
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (20, 1, 1, 48, 48, 4), dtype=np.uint8)
+    path = tmp_path / "randact_traj_length_100_n_trials_1000_n_contexts_1.npy"
+    np.save(path, frames)
+
+    from vqvae_tpu.data.datasets import load_block
+
+    train, val, var, info = load_block(str(tmp_path))
+    assert len(train) == 18 and len(val) == 2  # 90/10
+    assert train.data.shape[1:] == (32, 32, 3)
+    assert -1.0 <= train.data.min() and train.data.max() <= 1.0
+    assert 0.0 < var < 1.0
+
+
+def test_load_dataset_dispatcher(tmp_path):
+    from vqvae_tpu.data.datasets import load_dataset
+
+    train, val, var, info = load_dataset("CIFAR10", str(tmp_path))
+    assert info["name"] == "CIFAR10"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_dataset("MNIST", str(tmp_path))

@@ -56,3 +56,19 @@ def test_background_thread():
         assert out.shape == (4, 4, 4)
     finally:
         svc.stop()
+
+
+def test_latent_sampling_schemes():
+    """Notebook cells 10-12: uniform-random and histogram code sampling."""
+    import jax as _jax
+
+    from vqvae_tpu.pipelines.sample import sample_histogram_codes, sample_uniform_codes
+
+    uni = sample_uniform_codes(512, 8, (8, 8), _jax.random.PRNGKey(0))
+    assert uni.shape == (8, 8, 8) and uni.min() >= 0 and uni.max() < 512
+
+    seen = np.concatenate([np.full(900, 7), np.full(100, 3)])
+    hist = sample_histogram_codes(seen, 16, (8, 8), _jax.random.PRNGKey(1))
+    vals, counts = np.unique(hist, return_counts=True)
+    assert set(vals.tolist()) <= {3, 7}
+    assert counts[vals.tolist().index(7)] > counts[vals.tolist().index(3)]

@@ -145,3 +145,97 @@ def test_resume_from_checkpoint(trainer8, tmp_path, monkeypatch):
         hist2.loss_vals
     ) >= 8 - 4
     assert int(state2.step) > int(state1.step) - 1
+
+
+def test_multi_step_dispatch_matches_single_step(trainer8):
+    """steps() (scan over K batches) must produce bit-identical state/metrics
+    to K sequential step() calls."""
+    batches = np.stack([_batch(seed=100 + j) for j in range(4)])
+
+    s_seq = trainer8.init_state(jax.random.PRNGKey(5))
+    seq_metrics = []
+    for j in range(4):
+        s_seq, m = trainer8.step(s_seq, batches[j])
+        seq_metrics.append(float(m["loss"]))
+
+    s_multi = trainer8.init_state(jax.random.PRNGKey(5))
+    s_multi, stacked = trainer8.steps(s_multi, batches)
+
+    # scan bodies fuse differently than standalone jits -> ~1e-7 fp drift
+    np.testing.assert_allclose(np.asarray(stacked["loss"]), seq_metrics, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_seq.params),
+        jax.tree_util.tree_leaves(s_multi.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_train_vqvae_steps_per_dispatch_equivalence(tmp_path):
+    """The full loop with steps_per_dispatch=5 reproduces the per-step history
+    of the reference-style loop (steps_per_dispatch=1)."""
+    from vqvae_tpu.config import TrainConfig, VQVAEConfig
+    from vqvae_tpu.data.datasets import ArrayDataset
+    from vqvae_tpu.train.vqvae_train import train_vqvae
+
+    data = np.random.default_rng(1).standard_normal((64, 32, 32, 3)).astype(np.float32)
+    ds = ArrayDataset(data, np.zeros(64, np.int32))
+    dataset = (ds, ds, 0.06, {"synthetic": True, "name": "TEST"})
+    vq_cfg = VQVAEConfig(n_hiddens=16, n_residual_hiddens=8, n_embeddings=64,
+                         embedding_dim=16)
+
+    base = TrainConfig(batch_size=16, n_updates=12, log_interval=4, seed=3)
+    _, h1, _ = train_vqvae(vq_cfg, base, dataset=dataset, verbose=False)
+    _, h5, _ = train_vqvae(vq_cfg, base.replace(steps_per_dispatch=5),
+                           dataset=dataset, verbose=False)
+    np.testing.assert_allclose(h1.loss_vals, h5.loss_vals, rtol=1e-6)
+    np.testing.assert_allclose(h1.recon_errors, h5.recon_errors, rtol=1e-6)
+
+
+def test_ema_codebook_training():
+    """EMA mode: codebook tracks assigned encoder outputs without gradients;
+    training reduces recon error; codebook stays finite."""
+    from vqvae_tpu.config import MeshConfig, TrainConfig, VQVAEConfig
+    from vqvae_tpu.parallel.mesh import make_mesh
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+    cfg = VQVAEConfig(n_hiddens=16, n_residual_hiddens=8, n_embeddings=64,
+                      embedding_dim=16, ema_codebook=True)
+    trainer = VQVAETrainer(cfg, TrainConfig(batch_size=16), MeshConfig(),
+                           x_train_var=0.06, mesh=make_mesh())
+    state = trainer.init_state()
+    assert state.ema_counts is not None and state.ema_means is not None
+
+    cb0 = np.asarray(state.params["codebook"])
+    batch = _batch(seed=11)
+    first = None
+    for _ in range(20):
+        state, m = trainer.step(state, batch)
+        if first is None:
+            first = float(m["recon_error"])
+    cb1 = np.asarray(state.params["codebook"])
+    assert np.all(np.isfinite(cb1))
+    assert not np.array_equal(cb0, cb1)            # EMA moved the codebook
+    assert float(np.asarray(state.ema_counts).sum()) > 0
+    assert float(m["recon_error"]) < first         # still learns
+
+
+def test_steps_by_index_matches_steps(trainer8):
+    """On-device gather path == host-batch path, same indices."""
+    data = np.random.default_rng(7).standard_normal((64, 32, 32, 3)).astype(np.float32)
+    idx = np.stack([np.random.default_rng(s).choice(64, 16, replace=False)
+                    for s in range(3)])
+
+    s_a = trainer8.init_state(jax.random.PRNGKey(8))
+    s_a, m_a = trainer8.steps(s_a, data[idx])
+
+    trainer8.stage_dataset(data)
+    s_b = trainer8.init_state(jax.random.PRNGKey(8))
+    s_b, m_b = trainer8.steps_by_index(s_b, idx)
+
+    np.testing.assert_allclose(
+        np.asarray(m_a["loss"]), np.asarray(m_b["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_a.params), jax.tree_util.tree_leaves(s_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

@@ -47,6 +47,11 @@ def _add_vqvae_flags(p: argparse.ArgumentParser):
                    help="strict parity with the reference's accidental weight sharing")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint for this filename")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="updates per device dispatch (scan); amortizes host overhead")
+    p.add_argument("--ema_codebook", action="store_true",
+                   help="EMA codebook updates instead of gradient descent")
+    p.add_argument("--ema_decay", type=float, default=0.99)
 
 
 def _mesh_flags(p: argparse.ArgumentParser):
@@ -82,6 +87,8 @@ def cmd_train_vqvae(args) -> int:
         beta=args.beta,
         share_residual_weights=args.share_residual_weights,
         compute_dtype=args.compute_dtype,
+        ema_codebook=args.ema_codebook,
+        ema_decay=args.ema_decay,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
@@ -94,6 +101,7 @@ def cmd_train_vqvae(args) -> int:
         filename=args.filename,
         data_dir=args.data_dir,
         results_dir=args.results_dir,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     if args.save:
         name = args.filename or "run"

@@ -77,7 +77,9 @@ class VQVAE(nn.Module):
         return z_e.astype(jnp.float32)
 
     def quantize(self, z_e) -> QuantizeOutput:
-        return quantize(z_e, self.codebook, self.config.beta)
+        return quantize(
+            z_e, self.codebook, self.config.beta, ema=self.config.ema_codebook
+        )
 
     def codes(self, x) -> jnp.ndarray:
         """x -> discrete code indices (B, h, w) int32 (latent extraction)."""

@@ -117,11 +117,16 @@ nearest_code.defvjp(_nearest_code_vjp_fwd, _nearest_code_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float) -> QuantizeOutput:
+def quantize(
+    z: jnp.ndarray, codebook: jnp.ndarray, beta: float, ema: bool = False
+) -> QuantizeOutput:
     """The complete VQ bottleneck on an NHWC latent map.
 
     z: (B, H, W, D) encoder output (post pre-quantization conv);
     codebook: (K, D).
+    ema: EMA-codebook mode — the loss is only the beta-weighted commitment
+    term (the codebook receives no gradient; it is updated by moving averages
+    in the trainer).
     """
     b, h, w, d = z.shape
     k = codebook.shape[0]
@@ -132,8 +137,11 @@ def quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float) -> QuantizeOutp
     indices = idx_flat.reshape(b, h, w)
 
     sg = jax.lax.stop_gradient
-    # Reference loss ordering/coefficients (models/quantizer.py:63-64).
-    loss = jnp.mean((sg(z_q) - z) ** 2) + beta * jnp.mean((z_q - sg(z)) ** 2)
+    if ema:
+        loss = beta * jnp.mean((sg(z_q) - z) ** 2)
+    else:
+        # Reference loss ordering/coefficients (models/quantizer.py:63-64).
+        loss = jnp.mean((sg(z_q) - z) ** 2) + beta * jnp.mean((z_q - sg(z)) ** 2)
 
     # Straight-through estimator (models/quantizer.py:67).
     z_q_ste = z + sg(z_q - z)

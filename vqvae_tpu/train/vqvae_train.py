@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vqvae_tpu.config import MeshConfig, TrainConfig, VQVAEConfig
 from vqvae_tpu.data.datasets import load_dataset
@@ -43,6 +44,9 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    # EMA-codebook statistics (None unless VQVAEConfig.ema_codebook):
+    ema_counts: Any = None  # (K,)   running assignment counts
+    ema_means: Any = None   # (K, D) running sums of assigned encoder outputs
 
 
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
@@ -78,6 +82,27 @@ class VQVAETrainer:
             out_shardings=(self._rep, self._rep),
             donate_argnums=(0,),
         )
+        # multi-step: batches stacked (K, B, ...), batch dim sharded over data
+        self._multi_shard = NamedSharding(
+            self.mesh, P(None, mesh_cfg.data_axis)
+        )
+        self._train_steps = jax.jit(
+            self._steps_impl,
+            in_shardings=(self._rep, self._multi_shard),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        # device-resident dataset path: gather batches on-device from tiny
+        # uploaded index arrays (dataset replicated; the gathered batch's
+        # leading dim is sharded over the data axis by GSPMD)
+        self._idx_shard = NamedSharding(self.mesh, P(None, mesh_cfg.data_axis))
+        self._train_steps_idx = jax.jit(
+            self._steps_from_indices_impl,
+            in_shardings=(self._rep, self._rep, self._idx_shard),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        self._device_data = None
         self._eval_step = jax.jit(
             self._eval_impl,
             in_shardings=(self._rep, self._batch_shard),
@@ -93,26 +118,80 @@ class VQVAETrainer:
         dummy = jnp.zeros((1, img, img, self.vq_cfg.in_channels), jnp.float32)
         params = self.model.init(rng, dummy)["params"]
         opt_state = self.tx.init(params)
-        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if self.vq_cfg.ema_codebook:
+            ema_counts = jnp.zeros((self.vq_cfg.n_embeddings,), jnp.float32)
+            # explicit copy: donating a state that aliases params["codebook"]
+            # twice trips "donate the same buffer twice"
+            ema_means = jnp.array(params["codebook"], jnp.float32, copy=True)
+        else:
+            ema_counts = ema_means = None
+        state = TrainState(
+            params, opt_state, jnp.zeros((), jnp.int32), ema_counts, ema_means
+        )
         return jax.device_put(state, self._rep)
 
     # -- steps ---------------------------------------------------------------
 
     def _step_impl(self, state: TrainState, x) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        def loss_fn(params):
-            emb_loss, x_hat, perplexity = self.model.apply({"params": params}, x)
-            recon_loss = jnp.mean((x_hat - x) ** 2) / self.x_train_var
-            loss = recon_loss + emb_loss
-            return loss, (recon_loss, perplexity)
+        model = self.model
+        ema = self.vq_cfg.ema_codebook
 
-        (loss, (recon, perp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        def loss_fn(params):
+            z_e = model.apply({"params": params}, x, method=model.encode)
+            q = model.apply({"params": params}, z_e, method=model.quantize)
+            x_hat = model.apply({"params": params}, q.z_q, method=model.decode)
+            recon_loss = jnp.mean((x_hat - x) ** 2) / self.x_train_var
+            loss = recon_loss + q.loss
+            return loss, (recon_loss, q.perplexity, q.counts, q.indices, z_e)
+
+        (loss, (recon, perp, counts, indices, z_e)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1)
+
+        if ema:
+            # EMA codebook update (replicated stats; with a sharded batch XLA
+            # all-reduces the per-device partial counts/sums over ICI).
+            cfg = self.vq_cfg
+            gamma, eps, k = cfg.ema_decay, cfg.ema_epsilon, cfg.n_embeddings
+            z_flat = jax.lax.stop_gradient(z_e).reshape(-1, z_e.shape[-1])
+            z_sums = jax.ops.segment_sum(
+                z_flat, indices.reshape(-1), num_segments=k
+            )
+            new_counts = gamma * state.ema_counts + (1.0 - gamma) * counts
+            new_means = gamma * state.ema_means + (1.0 - gamma) * z_sums
+            n_total = jnp.sum(new_counts)
+            smoothed = (new_counts + eps) / (n_total + k * eps) * n_total
+            params = {**params, "codebook": new_means / smoothed[:, None]}
+            new_state = TrainState(
+                params, opt_state, state.step + 1, new_counts, new_means
+            )
+        else:
+            new_state = TrainState(
+                params, opt_state, state.step + 1, state.ema_counts, state.ema_means
+            )
         metrics = {"loss": loss, "recon_error": recon, "perplexity": perp}
         return new_state, metrics
+
+    def _steps_impl(self, state: TrainState, xs):
+        """K sequential updates in one dispatch: lax.scan over stacked batches.
+
+        Semantically identical to K calls of ``_step_impl`` (same update
+        order); returns per-step metrics stacked on the leading axis.
+        """
+        return jax.lax.scan(self._step_impl, state, xs)
+
+    def _steps_from_indices_impl(self, state: TrainState, data, idx):
+        """K updates gathering each batch from the device-resident dataset.
+
+        data: (N, H, W, C) replicated; idx: (K, B) int32.
+        """
+
+        def body(s, ii):
+            return self._step_impl(s, jnp.take(data, ii, axis=0))
+
+        return jax.lax.scan(body, state, idx)
 
     def _eval_impl(self, state: TrainState, x) -> Dict[str, jnp.ndarray]:
         emb_loss, x_hat, perplexity = self.model.apply({"params": state.params}, x)
@@ -127,6 +206,40 @@ class VQVAETrainer:
     def step(self, state: TrainState, batch_np) -> Tuple[TrainState, Dict]:
         x = shard_batch(batch_np, self.mesh, self.mesh_cfg.data_axis)
         return self._train_step(state, x)
+
+    def steps(self, state: TrainState, batches_np) -> Tuple[TrainState, Dict]:
+        """Run K = len(batches_np) updates in one device dispatch.
+
+        batches_np: (K, B_local, H, W, C). Returns (state, metrics) where each
+        metric is a (K,) array of per-step values.
+        """
+        import numpy as _np
+
+        arr = _np.asarray(batches_np)
+        if jax.process_count() == 1:
+            xs = jax.device_put(arr, self._multi_shard)
+        else:
+            xs = jax.make_array_from_process_local_data(self._multi_shard, arr)
+        return self._train_steps(state, xs)
+
+    def stage_dataset(self, data_np) -> None:
+        """Place the training images in device HBM (replicated) once."""
+        self._device_data = jax.device_put(np.asarray(data_np), self._rep)
+
+    def steps_by_index(self, state: TrainState, idx_np) -> Tuple[TrainState, Dict]:
+        """K updates gathered on-device from the staged dataset.
+
+        idx_np: (K, B_global) int — only these tiny index arrays cross the
+        host->device link. Requires a prior ``stage_dataset`` call.
+        """
+        if self._device_data is None:
+            raise RuntimeError("call stage_dataset() before steps_by_index()")
+        arr = np.asarray(idx_np, np.int32)
+        if jax.process_count() == 1:
+            idx = jax.device_put(arr, self._idx_shard)
+        else:
+            idx = jax.make_array_from_process_local_data(self._idx_shard, arr)
+        return self._train_steps_idx(state, self._device_data, idx)
 
     def eval_batch(self, state: TrainState, batch_np) -> Dict:
         x = shard_batch(batch_np, self.mesh, self.mesh_cfg.data_axis)
@@ -196,29 +309,53 @@ def train_vqvae(
         "dataset_info": info,
     }
 
-    pending = []  # buffered device metrics, flushed at log cadence
-    for i in range(start_step, train_cfg.n_updates):
-        batch = train_ds.data[sampler.next_indices()]
-        state, metrics = trainer.step(state, batch)
-        pending.append(metrics)
+    spd = max(1, train_cfg.steps_per_dispatch)
+    li = train_cfg.log_interval
+    use_device_data = (
+        spd > 1
+        and train_cfg.device_data
+        and train_ds.data.nbytes <= train_cfg.device_data_max_bytes
+    )
+    if use_device_data:
+        trainer.stage_dataset(train_ds.data)
+    i = start_step
+    while i < train_cfg.n_updates:
+        # Chunks end exactly ON log-interval boundary steps (s % li == 0) so
+        # the print/checkpoint cadence matches the reference's (main.py:86).
+        boundary = i if i % li == 0 else i + (li - i % li)
+        k = min(spd, train_cfg.n_updates - i, boundary - i + 1)
+        if k == 1:
+            state, metrics = trainer.step(state, train_ds.data[sampler.next_indices()])
+            ms = [metrics]
+        else:
+            if use_device_data:
+                idx = np.stack([sampler.next_indices() for _ in range(k)])
+                state, stacked = trainer.steps_by_index(state, idx)
+            else:
+                batches = np.stack(
+                    [train_ds.data[sampler.next_indices()] for _ in range(k)]
+                )
+                state, stacked = trainer.steps(state, batches)
+            host = {key: np.asarray(v) for key, v in stacked.items()}
+            ms = [{key: host[key][j] for key in host} for j in range(k)]
 
-        if i % train_cfg.log_interval == 0 or i == train_cfg.n_updates - 1:
-            for j, m in enumerate(pending):
-                step_idx = i - len(pending) + 1 + j
-                history.append(
-                    float(m["recon_error"]), float(m["loss"]), float(m["perplexity"]),
-                    step_idx,
-                )
-                logger.log_step(history, step_idx)
-            pending = []
-            if train_cfg.save:
-                save_checkpoint(
-                    checkpoint_path(train_cfg.results_dir, name, i),
-                    state,
-                    i,
-                    metrics=history.to_dict(),
-                    hyperparameters=hyperparameters,
-                )
+        for j, m in enumerate(ms):
+            step_idx = i + j
+            history.append(
+                float(m["recon_error"]), float(m["loss"]), float(m["perplexity"]),
+                step_idx,
+            )
+            logger.log_step(history, step_idx)
+        i += k
+        last = i - 1
+        if train_cfg.save and (last % li == 0 or i >= train_cfg.n_updates):
+            save_checkpoint(
+                checkpoint_path(train_cfg.results_dir, name, last),
+                state,
+                last,
+                metrics=history.to_dict(),
+                hyperparameters=hyperparameters,
+            )
 
     logger.close()
     return state, history, trainer
