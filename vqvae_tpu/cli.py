@@ -188,7 +188,9 @@ def cmd_sample(args) -> int:
     pc_trainer = PixelCNNTrainer(pc_cfg, TrainConfig())
     pc_state, _, _, _ = load_checkpoint(args.prior_checkpoint, pc_trainer.init_state())
 
-    labels = np.arange(10).repeat(args.n_samples // 10).astype(np.int32)
+    # class-conditional labels cycling 0..9 (reference gated_pixelcnn.py:143-149
+    # uses 10x each of 0..9); works for any n_samples, not just multiples of 10
+    labels = (np.arange(args.n_samples) % 10).astype(np.int32)
     images, codes = sample_images(
         vq_trainer, vq_state, pc_trainer, pc_state, labels,
         rng=jax.random.PRNGKey(args.seed),
