@@ -115,6 +115,11 @@ class MeshConfig(_DictMixin):
     data_axis: str = "data"
     # None => use all available devices on the data axis.
     n_data: Optional[int] = None
+    # Codebook-parallel axis: shard the (K, D) codebook (and its optimizer
+    # moments / EMA stats) row-wise over `code` devices (parallel/code_parallel).
+    # 1 = replicated codebook (the default data-parallel-only scheme).
+    code_axis: str = "code"
+    n_code: int = 1
     # Multi-host bootstrap (jax.distributed.initialize) — off by default.
     distributed: bool = False
     coordinator_address: Optional[str] = None

@@ -71,15 +71,28 @@ class VQVAETrainer:
         self.x_train_var = float(x_train_var)
         self.model = VQVAE(vq_cfg)
         self.tx = make_optimizer(train_cfg.learning_rate)
-        self.mesh = mesh if mesh is not None else make_mesh(
-            mesh_cfg.n_data, mesh_cfg.data_axis
-        )
+        self.n_code = int(mesh_cfg.n_code)
+        if mesh is not None:
+            self.mesh = mesh
+        elif self.n_code > 1:
+            from vqvae_tpu.parallel.code_parallel import make_2d_mesh
+
+            self.mesh = make_2d_mesh(
+                mesh_cfg.n_data, self.n_code, mesh_cfg.data_axis, mesh_cfg.code_axis
+            )
+        else:
+            self.mesh = make_mesh(mesh_cfg.n_data, mesh_cfg.data_axis)
+        if self.n_code > 1 and vq_cfg.n_embeddings % self.n_code != 0:
+            raise ValueError(
+                f"n_embeddings {vq_cfg.n_embeddings} not divisible by n_code {self.n_code}"
+            )
         self._rep = replicated_sharding(self.mesh)
         self._batch_shard = batch_sharding(self.mesh, mesh_cfg.data_axis)
+        self._state_shard = self._make_state_sharding()
         self._train_step = jax.jit(
             self._step_impl,
-            in_shardings=(self._rep, self._batch_shard),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=(self._state_shard, self._batch_shard),
+            out_shardings=(self._state_shard, self._rep),
             donate_argnums=(0,),
         )
         # multi-step: batches stacked (K, B, ...), batch dim sharded over data
@@ -88,8 +101,8 @@ class VQVAETrainer:
         )
         self._train_steps = jax.jit(
             self._steps_impl,
-            in_shardings=(self._rep, self._multi_shard),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=(self._state_shard, self._multi_shard),
+            out_shardings=(self._state_shard, self._rep),
             donate_argnums=(0,),
         )
         # device-resident dataset path: gather batches on-device from tiny
@@ -98,24 +111,50 @@ class VQVAETrainer:
         self._idx_shard = NamedSharding(self.mesh, P(None, mesh_cfg.data_axis))
         self._train_steps_idx = jax.jit(
             self._steps_from_indices_impl,
-            in_shardings=(self._rep, self._rep, self._idx_shard),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=(self._state_shard, self._rep, self._idx_shard),
+            out_shardings=(self._state_shard, self._rep),
             donate_argnums=(0,),
         )
         self._device_data = None
         self._eval_step = jax.jit(
             self._eval_impl,
-            in_shardings=(self._rep, self._batch_shard),
+            in_shardings=(self._state_shard, self._batch_shard),
             out_shardings=self._rep,
         )
 
-    # -- state ---------------------------------------------------------------
+    def _make_state_sharding(self):
+        """Per-leaf NamedShardings for TrainState.
 
-    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
-        if rng is None:
-            rng = jax.random.PRNGKey(self.train_cfg.seed)
-        img = 32
-        dummy = jnp.zeros((1, img, img, self.vq_cfg.in_channels), jnp.float32)
+        Everything is replicated except, under codebook parallelism
+        (n_code > 1), every (K, D)/(K,) codebook-shaped leaf — the codebook
+        param, its Adam moments (mu/nu/nu_max mirror the param tree), and the
+        EMA stats — which are row-sharded over the ``code`` axis.
+        """
+        if self.n_code <= 1:
+            return self._rep
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        k = self.vq_cfg.n_embeddings
+        d = self.vq_cfg.embedding_dim
+        row2d = NamedSharding(self.mesh, P(self.mesh_cfg.code_axis, None))
+        row1d = NamedSharding(self.mesh, P(self.mesh_cfg.code_axis))
+
+        def leaf_sharding(leaf):
+            shape = getattr(leaf, "shape", ())
+            if tuple(shape) == (k, d):
+                return row2d
+            if tuple(shape) == (k,):
+                return row1d
+            return self._rep
+
+        state_shapes = jax.eval_shape(self._abstract_init_state)
+        return jax.tree_util.tree_map(leaf_sharding, state_shapes)
+
+    def _abstract_init_state(self):
+        return self._build_state(jax.random.PRNGKey(self.train_cfg.seed))
+
+    def _build_state(self, rng) -> TrainState:
+        dummy = jnp.zeros((1, 32, 32, self.vq_cfg.in_channels), jnp.float32)
         params = self.model.init(rng, dummy)["params"]
         opt_state = self.tx.init(params)
         if self.vq_cfg.ema_codebook:
@@ -125,12 +164,34 @@ class VQVAETrainer:
             ema_means = jnp.array(params["codebook"], jnp.float32, copy=True)
         else:
             ema_counts = ema_means = None
-        state = TrainState(
+        return TrainState(
             params, opt_state, jnp.zeros((), jnp.int32), ema_counts, ema_means
         )
-        return jax.device_put(state, self._rep)
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        if rng is None:
+            rng = jax.random.PRNGKey(self.train_cfg.seed)
+        return jax.device_put(self._build_state(rng), self._state_shard)
 
     # -- steps ---------------------------------------------------------------
+
+    def _quantize(self, params, z_e):
+        """VQ bottleneck: sharded-codebook path under codebook parallelism."""
+        if self.n_code > 1:
+            from vqvae_tpu.parallel.code_parallel import quantize_sharded
+
+            return quantize_sharded(
+                z_e,
+                params["codebook"],
+                self.vq_cfg.beta,
+                self.mesh,
+                self.mesh_cfg.data_axis,
+                self.mesh_cfg.code_axis,
+                ema=self.vq_cfg.ema_codebook,
+            )
+        return self.model.apply({"params": params}, z_e, method=self.model.quantize)
 
     def _step_impl(self, state: TrainState, x) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         model = self.model
@@ -138,7 +199,7 @@ class VQVAETrainer:
 
         def loss_fn(params):
             z_e = model.apply({"params": params}, x, method=model.encode)
-            q = model.apply({"params": params}, z_e, method=model.quantize)
+            q = self._quantize(params, z_e)
             x_hat = model.apply({"params": params}, q.z_q, method=model.decode)
             recon_loss = jnp.mean((x_hat - x) ** 2) / self.x_train_var
             loss = recon_loss + q.loss
@@ -194,7 +255,11 @@ class VQVAETrainer:
         return jax.lax.scan(body, state, idx)
 
     def _eval_impl(self, state: TrainState, x) -> Dict[str, jnp.ndarray]:
-        emb_loss, x_hat, perplexity = self.model.apply({"params": state.params}, x)
+        model, params = self.model, state.params
+        z_e = model.apply({"params": params}, x, method=model.encode)
+        q = self._quantize(params, z_e)
+        x_hat = model.apply({"params": params}, q.z_q, method=model.decode)
+        emb_loss, perplexity = q.loss, q.perplexity
         recon_loss = jnp.mean((x_hat - x) ** 2) / self.x_train_var
         return {
             "loss": recon_loss + emb_loss,
@@ -277,7 +342,7 @@ def train_vqvae(
         ckpt = latest_checkpoint(train_cfg.results_dir, name)
         if ckpt is not None:
             state, step, saved_metrics, _hp = load_checkpoint(ckpt, state)
-            state = jax.device_put(state, trainer._rep)
+            state = jax.device_put(state, trainer._state_shard)
             history = MetricHistory.from_dict(saved_metrics)
             start_step = step + 1
             if verbose and jax.process_index() == 0:
