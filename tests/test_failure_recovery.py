@@ -1,0 +1,114 @@
+"""Crash / resume: fault injection + async checkpointing (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from vqvae_tpu.config import MeshConfig, TrainConfig, VQVAEConfig
+from vqvae_tpu.data.datasets import ArrayDataset
+from vqvae_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    latest_checkpoint,
+    load_checkpoint,
+)
+from vqvae_tpu.utils.faults import FaultInjector, InjectedFault
+
+VQ = VQVAEConfig(n_hiddens=16, n_residual_hiddens=8, n_embeddings=32, embedding_dim=8)
+
+
+def _dataset(n=64):
+    data = (
+        np.random.default_rng(0).standard_normal((n, 32, 32, 3)).astype(np.float32)
+    )
+    ds = ArrayDataset(data, np.zeros(n, np.int32))
+    return ds, ds, 0.06, {"name": "synthetic-test"}
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        batch_size=8,
+        n_updates=12,
+        log_interval=4,
+        save=True,
+        filename="faulty",
+        results_dir=str(tmp_path),
+        steps_per_dispatch=1,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_crash_then_resume_matches_uninterrupted(tmp_path):
+    from vqvae_tpu.train.vqvae_train import train_vqvae
+
+    ds = _dataset()
+
+    # uninterrupted run -> golden final params
+    golden_dir = tmp_path / "golden"
+    state_g, hist_g, _ = train_vqvae(
+        VQ, _cfg(golden_dir), MeshConfig(), dataset=ds, verbose=False
+    )
+
+    # faulty run: crash after step 6 (checkpoints exist at steps 0 and 4)
+    crash_dir = tmp_path / "crash"
+    inj = FaultInjector(fail_at_step=6)
+    with pytest.raises(InjectedFault):
+        train_vqvae(
+            VQ, _cfg(crash_dir), MeshConfig(), dataset=ds, verbose=False,
+            step_hook=inj,
+        )
+    ckpt = latest_checkpoint(str(crash_dir), "faulty")
+    assert ckpt is not None and "step4" in ckpt
+
+    # resume-from-latest: replays the RNG schedule and finishes the run
+    state_r, hist_r, _ = train_vqvae(
+        VQ, _cfg(crash_dir), MeshConfig(), dataset=ds, verbose=False, resume=True
+    )
+    assert int(state_r.step) == int(state_g.step)
+    # identical batch schedule + identical state => identical final params
+    np.testing.assert_allclose(
+        np.asarray(state_r.params["codebook"]),
+        np.asarray(state_g.params["codebook"]),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    # metric history is stitched: resumed history covers all steps
+    assert hist_r.to_dict()["n_updates"] == hist_g.to_dict()["n_updates"]
+
+
+def test_async_checkpointer_durability_and_error_surfacing(tmp_path):
+    import jax.numpy as jnp
+
+    ck = AsyncCheckpointer()
+    state = {"w": jnp.arange(8.0)}
+    p = str(tmp_path / "a_step1.npz")
+    ck.save(p, state, 1, metrics={"m": [1]})
+    ck.wait()
+    restored, step, metrics, _ = load_checkpoint(p, state)
+    assert step == 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(8.0))
+
+    # a failing write surfaces on wait()
+    ck.save(str(tmp_path / "nonexistent-dir" / "sub" / "x.npz"), state, 2)
+    # (save_checkpoint mkdirs, so force an error with an unwritable path)
+    ck.wait()  # should not raise — mkdir succeeded; now a real error:
+    import os
+
+    ro_dir = tmp_path / "ro"
+    ro_dir.mkdir()
+    os.chmod(ro_dir, 0o500)
+    try:
+        if os.access(str(ro_dir), os.W_OK):
+            pytest.skip("running as privileged user; cannot make dir read-only")
+        ck.save(str(ro_dir / "x.npz"), state, 3)
+        with pytest.raises(OSError):
+            ck.wait()
+    finally:
+        os.chmod(ro_dir, 0o700)
+
+
+def test_fault_injector_fires_once():
+    inj = FaultInjector(5)
+    inj(4)
+    with pytest.raises(InjectedFault):
+        inj(5)
+    inj(5)  # second pass over the same step: no raise

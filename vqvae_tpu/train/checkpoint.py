@@ -85,6 +85,63 @@ def load_checkpoint(path: str, state_template) -> Tuple[Any, int, Dict, Dict]:
     return state, meta["step"], meta.get("metrics", {}), meta.get("hyperparameters", {})
 
 
+class AsyncCheckpointer:
+    """Orbax-style async checkpointing (SURVEY.md §5 failure-recovery row).
+
+    ``save`` snapshots the state to host memory (device-to-host copy — this
+    must be synchronous: the train loop donates state buffers, so the device
+    arrays are deleted by the next step) and hands the NumPy tree to a single
+    background writer thread that does the serialization + atomic
+    temp-file+rename off the critical path — the train loop never blocks on
+    disk. One in-flight save at a time (a new save waits for the previous
+    write, like orbax's AsyncCheckpointer); call ``wait()`` before
+    exit/restore.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(
+        self,
+        path: str,
+        state,
+        step: int,
+        metrics: Optional[Dict] = None,
+        hyperparameters: Optional[Dict] = None,
+    ) -> str:
+        import threading
+
+        if jax.process_index() != 0:
+            return path
+        self.wait()
+        # D2H snapshot BEFORE the next donated step deletes these buffers
+        host_state = jax.tree_util.tree_map(np.asarray, state)
+
+        def _write():
+            try:
+                save_checkpoint(path, host_state, step, metrics, hyperparameters)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name=f"ckpt-writer-step{step}", daemon=True
+        )
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable; re-raise its error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 _CKPT_RE = re.compile(r"_step(\d+)\.npz$")
 
 
@@ -113,4 +170,5 @@ __all__ = [
     "load_checkpoint",
     "latest_checkpoint",
     "checkpoint_path",
+    "AsyncCheckpointer",
 ]

@@ -36,7 +36,11 @@ from vqvae_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
-from vqvae_tpu.train.checkpoint import checkpoint_path, save_checkpoint
+from vqvae_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    checkpoint_path,
+    save_checkpoint,
+)
 from vqvae_tpu.train.metrics import MetricHistory, MetricLogger, readable_timestamp
 
 
@@ -318,6 +322,7 @@ def train_vqvae(
     dataset=None,
     verbose: bool = True,
     resume: bool = False,
+    step_hook=None,
 ) -> Tuple[TrainState, MetricHistory, VQVAETrainer]:
     """Full training loop reproducing main.py:67-98 semantics.
 
@@ -325,6 +330,9 @@ def train_vqvae(
     ``resume``: restore the latest step-tagged checkpoint for this run name and
     continue from its step counter with its metric history (the resume path
     the reference lacks — SURVEY.md §5 checkpoint/resume).
+    ``step_hook``: optional callable(step_index) invoked after each completed
+    update — the fault-injection point for elastic-recovery tests
+    (utils/faults.py; SURVEY.md §5 failure-detection row).
     """
     if dataset is None:
         dataset = load_dataset(train_cfg.dataset, train_cfg.data_dir)
@@ -373,6 +381,7 @@ def train_vqvae(
         "x_train_var": x_train_var,
         "dataset_info": info,
     }
+    ckpt_writer = AsyncCheckpointer()
 
     spd = max(1, train_cfg.steps_per_dispatch)
     li = train_cfg.log_interval
@@ -384,45 +393,52 @@ def train_vqvae(
     if use_device_data:
         trainer.stage_dataset(train_ds.data)
     i = start_step
-    while i < train_cfg.n_updates:
-        # Chunks end exactly ON log-interval boundary steps (s % li == 0) so
-        # the print/checkpoint cadence matches the reference's (main.py:86).
-        boundary = i if i % li == 0 else i + (li - i % li)
-        k = min(spd, train_cfg.n_updates - i, boundary - i + 1)
-        if k == 1:
-            state, metrics = trainer.step(state, train_ds.data[sampler.next_indices()])
-            ms = [metrics]
-        else:
-            if use_device_data:
-                idx = np.stack([sampler.next_indices() for _ in range(k)])
-                state, stacked = trainer.steps_by_index(state, idx)
+    try:
+        while i < train_cfg.n_updates:
+            # Chunks end exactly ON log-interval boundary steps (s % li == 0) so
+            # the print/checkpoint cadence matches the reference's (main.py:86).
+            boundary = i if i % li == 0 else i + (li - i % li)
+            k = min(spd, train_cfg.n_updates - i, boundary - i + 1)
+            if k == 1:
+                state, metrics = trainer.step(state, train_ds.data[sampler.next_indices()])
+                ms = [metrics]
             else:
-                batches = np.stack(
-                    [train_ds.data[sampler.next_indices()] for _ in range(k)]
+                if use_device_data:
+                    idx = np.stack([sampler.next_indices() for _ in range(k)])
+                    state, stacked = trainer.steps_by_index(state, idx)
+                else:
+                    batches = np.stack(
+                        [train_ds.data[sampler.next_indices()] for _ in range(k)]
+                    )
+                    state, stacked = trainer.steps(state, batches)
+                host = {key: np.asarray(v) for key, v in stacked.items()}
+                ms = [{key: host[key][j] for key in host} for j in range(k)]
+
+            for j, m in enumerate(ms):
+                step_idx = i + j
+                history.append(
+                    float(m["recon_error"]), float(m["loss"]), float(m["perplexity"]),
+                    step_idx,
                 )
-                state, stacked = trainer.steps(state, batches)
-            host = {key: np.asarray(v) for key, v in stacked.items()}
-            ms = [{key: host[key][j] for key in host} for j in range(k)]
+                logger.log_step(history, step_idx)
+                if step_hook is not None:
+                    step_hook(step_idx)
+            i += k
+            last = i - 1
+            if train_cfg.save and (last % li == 0 or i >= train_cfg.n_updates):
+                ckpt_writer.save(
+                    checkpoint_path(train_cfg.results_dir, name, last),
+                    state,
+                    last,
+                    metrics=history.to_dict(),
+                    hyperparameters=hyperparameters,
+                )
 
-        for j, m in enumerate(ms):
-            step_idx = i + j
-            history.append(
-                float(m["recon_error"]), float(m["loss"]), float(m["perplexity"]),
-                step_idx,
-            )
-            logger.log_step(history, step_idx)
-        i += k
-        last = i - 1
-        if train_cfg.save and (last % li == 0 or i >= train_cfg.n_updates):
-            save_checkpoint(
-                checkpoint_path(train_cfg.results_dir, name, last),
-                state,
-                last,
-                metrics=history.to_dict(),
-                hyperparameters=hyperparameters,
-            )
-
-    logger.close()
+    finally:
+        # an injected fault / crash mid-loop must still leave the last
+        # checkpoint durable for resume-from-latest
+        ckpt_writer.wait()
+        logger.close()
     return state, history, trainer
 
 
