@@ -49,9 +49,15 @@ class VQVAEConfig(_DictMixin):
     share_residual_weights: bool = False
     # Compute dtype for conv stacks ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
-    # Use the fused Pallas quantizer kernel (falls back to the pure-jnp path
-    # automatically on non-TPU backends).
-    fused_quantizer: bool = True
+    # Quantizer forward backend: "auto" (XLA matmul+argmin unless the (N, K)
+    # score matrix exceeds the HBM budget, then the fused Pallas streaming
+    # kernel), "pallas" (force fused kernel), "jnp" (force XLA).
+    quantizer_impl: str = "auto"
+    # Distance-matmul precision in the quantizer: "highest" (full fp32 —
+    # bitwise argmin parity with the reference), "high" (bf16x3), or
+    # "default" (single-pass bf16 MXU, ~6x faster distances; near-tie code
+    # assignments may flip — use for inference/serving).
+    quantizer_precision: str = "highest"
     # EMA codebook updates (van den Oord et al. 2017, appendix A.1): the
     # codebook is maintained by exponential moving averages of assigned
     # encoder outputs instead of gradient descent; the embedding loss reduces

@@ -78,7 +78,12 @@ class VQVAE(nn.Module):
 
     def quantize(self, z_e) -> QuantizeOutput:
         return quantize(
-            z_e, self.codebook, self.config.beta, ema=self.config.ema_codebook
+            z_e,
+            self.codebook,
+            self.config.beta,
+            ema=self.config.ema_codebook,
+            precision=self.config.quantizer_precision,
+            impl=self.config.quantizer_impl,
         )
 
     def codes(self, x) -> jnp.ndarray:

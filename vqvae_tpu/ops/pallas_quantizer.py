@@ -1,24 +1,34 @@
-"""Fused Pallas TPU kernels for the VQ bottleneck hot path.
+"""Fused Pallas TPU kernel for the VQ bottleneck hot path.
 
 Replaces the reference's five separate torch ops (distance expansion, argmin,
-scatter one-hot, gather matmul — reference models/quantizer.py:49-60) with two
-Pallas kernels that keep the z tile resident in VMEM and stream codebook tiles:
+scatter one-hot, gather matmul — reference models/quantizer.py:49-60) with ONE
+Pallas kernel + an XLA row gather:
 
   1. ``argmin`` kernel: scores = e^2 - 2 z.e per (row-tile, code-tile) on the
      MXU, with a running (best_value, best_index) carried in VMEM scratch
      across code tiles (grid dims: rows parallel, codes arbitrary/sequential).
-     The per-row z^2 constant is dropped — it cannot change the argmin.
-     Tie-breaking matches torch.argmin (first minimum) because within a tile
-     the smallest tied column index wins and across tiles strict ``<`` keeps
-     the earlier tile's winner.
-  2. ``gather`` kernel: z_q = one_hot(idx) @ E accumulated over code tiles on
-     the MXU — the same math as the reference's ``min_encodings @ weight``
-     (models/quantizer.py:60) but tiled and fused, never materializing the
-     (N, K) one-hot in HBM.
+     The (N, K) score matrix NEVER touches HBM (the plain-XLA path
+     materializes it twice — write + argmin read; at the stress config
+     K=8192 that is 2x64 MB of traffic per call). The per-row z^2 constant is
+     dropped — it cannot change the argmin. Tie-breaking matches torch.argmin
+     (first minimum): within a tile the smallest tied column wins, across
+     tiles strict ``<`` keeps the earlier tile's winner.
+  2. gather: ``jnp.take(codebook, idx)`` in XLA — a memory-bound row gather
+     (N*D floats) that reproduces codebook rows BIT-EXACTLY at any matmul
+     precision. (An earlier design gathered via one-hot @ E on the MXU inside
+     a second kernel; exactness then forced precision=HIGHEST — 6-pass fp32
+     MXU emulation — onto the gather, doubling the kernel cost for nothing.)
 
-Both kernels tile rows at 256 and codes at <=512, so VMEM stays ~1 MB even at
-the stress config (K=8192, D=256) while the full default codebook (512x64)
-streams in a single tile.
+``precision`` controls only the distance matmul:
+  - "highest": full-fp32 (6-pass) — bitwise argmin parity with the fp32
+    reference; the default, used for training parity runs.
+  - "high": bf16x3 (3-pass, ~fp32 accurate) — 2x faster distances.
+  - "default": single-pass bf16 MXU — fastest; can flip near-tie
+    assignments (harmless for inference/serving; the gathered z_q rows are
+    still exact codebook entries).
+
+VMEM: rows tile at 256, codes at <=512, so ~1 MB resident even at the stress
+config (K=8192, D=256) while the default codebook (512x64) streams in one tile.
 """
 
 from __future__ import annotations
@@ -33,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_N = 256
 _MAX_TILE_K = 512
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -42,12 +58,38 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-# ---------------------------------------------------------------------------
-# Kernel 1: tiled argmin over codebook
-# ---------------------------------------------------------------------------
+def _dot_zt_et(z, e, mode):
+    """(TILE_N, D) x (TILE_K, D)^T on the MXU at the requested accuracy.
+
+    mode "f32": full-fp32 (Mosaic lowers HIGHEST to 6 bf16 passes).
+    mode "bf16": single pass; inputs arrive as bf16 (halves VMEM traffic too).
+    mode "bf16x3": manual 3-pass split-product — Mosaic has no HIGH lowering,
+    so decompose x.y ~= hi(x).hi(y) + hi(x).lo(y) + lo(x).hi(y), where
+    hi = bf16(x) and lo = bf16(x - hi). Error ~2^-21 relative, fp32-class
+    accuracy for argmin scores at half the HIGHEST cost.
+    """
+    dims = (((1,), (1,)), ((), ()))
+
+    def dot(a, b, prec=jax.lax.Precision.DEFAULT):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    if mode == "f32":
+        return dot(z, e, jax.lax.Precision.HIGHEST)
+    if mode == "bf16":
+        return dot(z, e)
+    z_hi = z.astype(jnp.bfloat16)
+    e_hi = e.astype(jnp.bfloat16)
+    z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    e_lo = (e - e_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(z_hi, e_hi) + dot(z_hi, e_lo) + dot(z_lo, e_hi)
 
 
-def _argmin_kernel(z_ref, e_ref, esq_ref, idx_ref, best_val, best_idx, *, tile_k, n_k):
+def _argmin_kernel(
+    z_ref, e_ref, esq_ref, idx_ref, best_val, best_idx, *, tile_k, n_k, mode
+):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -56,15 +98,7 @@ def _argmin_kernel(z_ref, e_ref, esq_ref, idx_ref, best_val, best_idx, *, tile_k
         best_idx[:] = jnp.zeros_like(best_idx)
 
     # (TILE_N, TILE_K) scores on the MXU: e^2 - 2 z.e
-    # precision=HIGHEST: full-fp32 multiply (the MXU's default bf16-input
-    # rounding could flip near-tie argmins vs the fp32 reference).
-    prods = jax.lax.dot_general(
-        z_ref[:],
-        e_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    prods = _dot_zt_et(z_ref[:], e_ref[:], mode)
     scores = esq_ref[:] - 2.0 * prods
 
     tile_min = jnp.min(scores, axis=1, keepdims=True)
@@ -83,43 +117,19 @@ def _argmin_kernel(z_ref, e_ref, esq_ref, idx_ref, best_val, best_idx, *, tile_k
         idx_ref[:] = best_idx[:]
 
 
-# ---------------------------------------------------------------------------
-# Kernel 2: tiled one-hot gather
-# ---------------------------------------------------------------------------
-
-
-def _gather_kernel(idx_ref, e_ref, zq_ref, *, tile_k):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        zq_ref[:] = jnp.zeros_like(zq_ref)
-
-    local = idx_ref[:] - k * tile_k  # (TILE_N, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], tile_k), 1)
-    onehot = (col == local).astype(jnp.float32)
-    # precision=HIGHEST makes the one-hot gather EXACT: selecting a single row
-    # of E must reproduce the codebook entry bit-for-bit (torch gather parity);
-    # default MXU precision would round E to bf16.
-    zq_ref[:] += jax.lax.dot_general(
-        onehot,
-        e_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Host-side wrapper
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nearest_code_pallas(z_flat: jnp.ndarray, codebook: jnp.ndarray, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def nearest_code_pallas(
+    z_flat: jnp.ndarray,
+    codebook: jnp.ndarray,
+    interpret: bool | None = None,
+    precision: str = "highest",
+):
     """(N, D), (K, D) -> (z_q (N, D) float32, indices (N,) int32)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if precision not in _PRECISIONS:
+        raise ValueError(f"precision must be one of {sorted(_PRECISIONS)}")
+    mode = {"highest": "f32", "high": "bf16x3", "default": "bf16"}[precision]
 
     n, d = z_flat.shape
     k_codes = codebook.shape[0]
@@ -136,17 +146,22 @@ def nearest_code_pallas(z_flat: jnp.ndarray, codebook: jnp.ndarray, interpret: b
         zf = jnp.pad(zf, ((0, n_pad - n), (0, 0)))
     e_sq = jnp.sum(cb * cb, axis=1)[None, :]  # (1, K)
     if k_pad != k_codes:
-        cb = jnp.pad(cb, ((0, k_pad - k_codes), (0, 0)))
+        cb_padded = jnp.pad(cb, ((0, k_pad - k_codes), (0, 0)))
         # +inf scores for padded codes so they are never selected.
         e_sq = jnp.pad(e_sq, ((0, 0), (0, k_pad - k_codes)), constant_values=jnp.inf)
+    else:
+        cb_padded = cb
+    if mode == "bf16":
+        # single-pass MXU path: ship bf16 tiles (halves VMEM traffic);
+        # e_sq stays fp32 so the score epilogue keeps fp32 ordering
+        zf_in, cb_in = zf.astype(jnp.bfloat16), cb_padded.astype(jnp.bfloat16)
+    else:
+        zf_in, cb_in = zf, cb_padded
 
     grid = (n_n, n_k)
-    compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "arbitrary"),
-    )
 
     idx = pl.pallas_call(
-        functools.partial(_argmin_kernel, tile_k=tile_k, n_k=n_k),
+        functools.partial(_argmin_kernel, tile_k=tile_k, n_k=n_k, mode=mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE_N, d), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
@@ -161,36 +176,23 @@ def nearest_code_pallas(z_flat: jnp.ndarray, codebook: jnp.ndarray, interpret: b
             pltpu.VMEM((_TILE_N, 1), jnp.float32),
             pltpu.VMEM((_TILE_N, 1), jnp.int32),
         ],
-        compiler_params=compiler_params,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * k_pad * d,
             bytes_accessed=(n_pad * d + k_pad * d + n_pad) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(zf, cb, e_sq)
+    )(zf_in, cb_in, e_sq)
 
-    z_q = pl.pallas_call(
-        functools.partial(_gather_kernel, tile_k=tile_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TILE_N, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k, d), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TILE_N, d), lambda i, k: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-        compiler_params=compiler_params,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * k_pad * d,
-            bytes_accessed=(n_pad * d + k_pad * d + n_pad) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(idx, cb)
-
-    return z_q[:n].astype(z_flat.dtype), idx[:n, 0]
+    indices = idx[:n, 0]
+    # Exact row gather in XLA: memory-bound, bit-identical to the codebook at
+    # any distance precision (the reference gathers via one_hot @ E,
+    # models/quantizer.py:60 — numerically the same rows).
+    z_q = jnp.take(cb, indices, axis=0)
+    return z_q.astype(z_flat.dtype), indices
 
 
 __all__ = ["nearest_code_pallas"]

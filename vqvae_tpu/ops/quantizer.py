@@ -24,6 +24,7 @@ Reproduces the math of the reference ``VectorQuantizer.forward``
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -43,62 +44,93 @@ class QuantizeOutput(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _nearest_code_fwd_jnp(z_flat: jnp.ndarray, codebook: jnp.ndarray):
+def _nearest_code_fwd_jnp(
+    z_flat: jnp.ndarray, codebook: jnp.ndarray, precision: str = "highest"
+):
     """Pure-jnp forward: (N, D), (K, D) -> ((N, D) z_q, (N,) int32 indices).
 
     Distance expansion ||z - e||^2 = z^2 + e^2 - 2 z.e (the z^2 row-constant is
     dropped — it cannot change the argmin), exactly the reference's expansion
-    (models/quantizer.py:49-51) minus the per-row constant.
+    (models/quantizer.py:49-51) minus the per-row constant. ``precision``
+    controls the distance matmul on the MXU (see ops/pallas_quantizer.py);
+    the row gather is exact at any precision.
     """
-    scores = jnp.sum(codebook * codebook, axis=1)[None, :] - 2.0 * (
-        z_flat @ codebook.T
+    scores = jnp.sum(codebook * codebook, axis=1)[None, :] - 2.0 * jnp.matmul(
+        z_flat, codebook.T, precision=_LAX_PRECISION[precision]
     )
     indices = jnp.argmin(scores, axis=1).astype(jnp.int32)
     z_q = jnp.take(codebook, indices, axis=0)
     return z_q, indices
 
 
-def nearest_code_jnp(z_flat: jnp.ndarray, codebook: jnp.ndarray):
+_LAX_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def nearest_code_jnp(
+    z_flat: jnp.ndarray, codebook: jnp.ndarray, precision: str = "highest"
+):
     """Reference (unfused) implementation; the parity oracle for the Pallas kernel."""
-    return _nearest_code_fwd_jnp(z_flat, codebook)
+    return _nearest_code_fwd_jnp(z_flat, codebook, precision)
 
 
-@jax.custom_vjp
-def nearest_code(z_flat: jnp.ndarray, codebook: jnp.ndarray):
-    """Fused dist+argmin+gather. Differentiable like ``one_hot(argmin) @ codebook``.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def nearest_code(
+    z_flat: jnp.ndarray,
+    codebook: jnp.ndarray,
+    precision: str = "highest",
+    impl: str = "auto",
+):
+    """dist+argmin+gather. Differentiable like ``one_hot(argmin) @ codebook``.
 
     z_flat: (N, D) float; codebook: (K, D) float.
     Returns (z_q (N, D), indices (N,) int32).
+
+    impl selects the forward backend:
+    - "auto": XLA (one matmul + fused argmin + row gather) unless the (N, K)
+      score matrix would blow the HBM budget, then the Pallas streaming
+      kernel. Measured on this TPU (tools/bench_quantizer.py, interleaved
+      min-timing): XLA wins or ties at every BASELINE config — e.g. stress
+      (2048x8192x256) XLA 81 us vs Pallas 144 us at bf16, 303 vs 355 at fp32
+      — because XLA's matmul pipelining beats the hand-tiled kernel and HBM
+      absorbs the score traffic. The Pallas kernel's niche is very large N*K
+      where materializing scores is impossible.
+    - "pallas": force the fused streaming kernel (scores never leave VMEM).
+    - "jnp": force the XLA path.
     """
-    return _dispatch_forward(z_flat, codebook)
+    return _dispatch_forward(z_flat, codebook, precision, impl)
 
 
-def _dispatch_forward(z_flat, codebook):
-    if _use_pallas():
+# scores above this are never materialized: auto switches to the Pallas
+# streaming kernel (default config scores: 4 MB; stress: 64 MB; both fine)
+_SCORES_HBM_BUDGET_BYTES = 2 * 1024**3
+
+
+def _dispatch_forward(z_flat, codebook, precision, impl):
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        scores_bytes = 4 * z_flat.shape[0] * codebook.shape[0]
+        impl = (
+            "pallas"
+            if on_tpu and scores_bytes > _SCORES_HBM_BUDGET_BYTES
+            else "jnp"
+        )
+    if impl == "pallas":
         from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
 
-        return nearest_code_pallas(z_flat, codebook)
-    return _nearest_code_fwd_jnp(z_flat, codebook)
+        return nearest_code_pallas(z_flat, codebook, precision=precision)
+    return _nearest_code_fwd_jnp(z_flat, codebook, precision)
 
 
-_FORCE_JNP = False
-
-
-def _use_pallas() -> bool:
-    if _FORCE_JNP:
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
-def _nearest_code_vjp_fwd(z_flat, codebook):
-    z_q, indices = _dispatch_forward(z_flat, codebook)
+def _nearest_code_vjp_fwd(z_flat, codebook, precision, impl):
+    z_q, indices = _dispatch_forward(z_flat, codebook, precision, impl)
     return (z_q, indices), (indices, codebook)
 
 
-def _nearest_code_vjp_bwd(residuals, cotangents):
+def _nearest_code_vjp_bwd(precision, impl, residuals, cotangents):
     indices, codebook = residuals
     g_zq, _g_idx = cotangents
     # d(one_hot @ E)/dE — scatter-add of cotangent rows into assigned codes.
@@ -118,7 +150,12 @@ nearest_code.defvjp(_nearest_code_vjp_fwd, _nearest_code_vjp_bwd)
 
 
 def quantize(
-    z: jnp.ndarray, codebook: jnp.ndarray, beta: float, ema: bool = False
+    z: jnp.ndarray,
+    codebook: jnp.ndarray,
+    beta: float,
+    ema: bool = False,
+    precision: str = "highest",
+    impl: str = "auto",
 ) -> QuantizeOutput:
     """The complete VQ bottleneck on an NHWC latent map.
 
@@ -127,12 +164,16 @@ def quantize(
     ema: EMA-codebook mode — the loss is only the beta-weighted commitment
     term (the codebook receives no gradient; it is updated by moving averages
     in the trainer).
+    precision: distance-matmul precision — "highest" (fp32, bitwise argmin
+    parity), "high" (bf16x3), or "default" (bf16 MXU, fastest; near-tie code
+    assignments may flip — fine for inference). z_q rows are exact codebook
+    entries at any setting.
     """
     b, h, w, d = z.shape
     k = codebook.shape[0]
     z_flat = z.reshape(-1, d)
 
-    z_q_flat, idx_flat = nearest_code(z_flat, codebook)
+    z_q_flat, idx_flat = nearest_code(z_flat, codebook, precision, impl)
     z_q = z_q_flat.reshape(b, h, w, d)
     indices = idx_flat.reshape(b, h, w)
 

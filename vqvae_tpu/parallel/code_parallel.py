@@ -64,15 +64,20 @@ def make_2d_mesh(
 
 
 @functools.lru_cache(maxsize=None)
-def _pershard_fn(code_axis: str):
-    """Per-shard fused forward/backward, cached per mesh-axis name."""
+def _pershard_fn(code_axis: str, precision: str = "highest"):
+    """Per-shard fused forward/backward, cached per (axis name, precision)."""
+    from vqvae_tpu.ops.quantizer import _LAX_PRECISION
+
+    lax_precision = _LAX_PRECISION[precision]
 
     def fwd_impl(z, cb):
         # z (n, D) local rows; cb (kl, D) local codebook shard.
         kl = cb.shape[0]
         # ||z - e||^2 minus the per-row z^2 constant (can't change the argmin);
         # same expansion as the reference (models/quantizer.py:49-51).
-        scores = jnp.sum(cb * cb, axis=1)[None, :] - 2.0 * (z @ cb.T)
+        scores = jnp.sum(cb * cb, axis=1)[None, :] - 2.0 * jnp.matmul(
+            z, cb.T, precision=lax_precision
+        )
         local_idx = jnp.argmin(scores, axis=1).astype(jnp.int32)  # (n,)
         local_min = jnp.take_along_axis(scores, local_idx[:, None], axis=1)[:, 0]
 
@@ -126,6 +131,7 @@ def nearest_code_sharded(
     mesh: Mesh,
     data_axis: str = "data",
     code_axis: str = "code",
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sharded-codebook dist+argmin+gather: ((N, D), (K, D)) -> (z_q, indices).
 
@@ -143,7 +149,7 @@ def nearest_code_sharded(
             f"N {z_flat.shape[0]} not divisible by data axis {mesh.shape[data_axis]}"
         )
     fn = shard_map(
-        _pershard_fn(code_axis),
+        _pershard_fn(code_axis, precision),
         mesh=mesh,
         in_specs=(P(data_axis, None), P(code_axis, None)),
         out_specs=(P(data_axis, None), P(data_axis)),
@@ -160,6 +166,7 @@ def quantize_sharded(
     data_axis: str = "data",
     code_axis: str = "code",
     ema: bool = False,
+    precision: str = "highest",
 ) -> QuantizeOutput:
     """Full VQ bottleneck with the codebook sharded over ``code``.
 
@@ -172,7 +179,7 @@ def quantize_sharded(
     z_flat = z.reshape(-1, d)
 
     z_q_flat, idx_flat = nearest_code_sharded(
-        z_flat, codebook, mesh, data_axis, code_axis
+        z_flat, codebook, mesh, data_axis, code_axis, precision
     )
     z_q = z_q_flat.reshape(b, h, w, d)
     indices = idx_flat.reshape(b, h, w)

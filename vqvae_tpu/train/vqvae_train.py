@@ -194,6 +194,7 @@ class VQVAETrainer:
                 self.mesh_cfg.data_axis,
                 self.mesh_cfg.code_axis,
                 ema=self.vq_cfg.ema_codebook,
+                precision=self.vq_cfg.quantizer_precision,
             )
         return self.model.apply({"params": params}, z_e, method=self.model.quantize)
 
