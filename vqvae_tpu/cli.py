@@ -52,10 +52,18 @@ def _add_vqvae_flags(p: argparse.ArgumentParser):
     p.add_argument("--ema_codebook", action="store_true",
                    help="EMA codebook updates instead of gradient descent")
     p.add_argument("--ema_decay", type=float, default=0.99)
+    p.add_argument("--quantizer_precision", type=str, default="highest",
+                   choices=["highest", "high", "default"],
+                   help="distance-matmul precision (highest = bitwise argmin parity)")
+    p.add_argument("--quantizer_impl", type=str, default="auto",
+                   choices=["auto", "pallas", "jnp"],
+                   help="quantizer forward backend")
 
 
 def _mesh_flags(p: argparse.ArgumentParser):
     p.add_argument("--n_data", type=int, default=None, help="devices on the data axis")
+    p.add_argument("--n_code", type=int, default=1,
+                   help="codebook-parallel devices (shards the codebook row-wise)")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--coordinator_address", type=str, default=None)
     p.add_argument("--num_processes", type=int, default=None)
@@ -65,6 +73,7 @@ def _mesh_flags(p: argparse.ArgumentParser):
 def _mesh_cfg(args) -> MeshConfig:
     return MeshConfig(
         n_data=args.n_data,
+        n_code=args.n_code,
         distributed=args.distributed,
         coordinator_address=args.coordinator_address,
         num_processes=args.num_processes,
@@ -89,6 +98,8 @@ def cmd_train_vqvae(args) -> int:
         compute_dtype=args.compute_dtype,
         ema_codebook=args.ema_codebook,
         ema_decay=args.ema_decay,
+        quantizer_precision=args.quantizer_precision,
+        quantizer_impl=args.quantizer_impl,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
