@@ -1,0 +1,212 @@
+"""In-memory datasets (reference utils.py:11-98, datasets/block.py:6-56).
+
+Each loader returns ``(train: ArrayDataset, val: ArrayDataset, x_train_var,
+info)`` where images are float32 NHWC already normalized to [-1, 1] (the
+reference's ToTensor + Normalize(0.5, 0.5) transform, utils.py:14-16) and
+``x_train_var`` reproduces the reference's ``np.var(train_data / 255.0)``
+normalizer computed on the *pre-normalization* pixel values (main.py:43-44 via
+utils.py:74-98).
+
+CIFAR-10 loads the standard python-pickle batches if present under
+``<root>/cifar-10-batches-py``; with zero egress in this environment a
+deterministic synthetic fallback with CIFAR-like statistics is generated
+instead (flagged ``info["synthetic"]``) so every pipeline stays runnable
+hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+class ArrayDataset:
+    """A dataset is just arrays: ``data`` (N, ...) and int ``labels`` (N,).
+
+    Replaces torch ``Dataset``/``DataLoader`` (reference datasets/block.py:6,
+    utils.py:61-71): batches are formed by fancy-indexing ``data`` with
+    sampler indices — on host, or on device after ``stage_dataset``.
+    """
+
+    def __init__(self, data: np.ndarray, labels: np.ndarray):
+        assert len(data) == len(labels), (len(data), len(labels))
+        self.data = data
+        self.labels = labels
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index):
+        return self.data[index], self.labels[index]
+
+
+def _normalize_images(raw: np.ndarray) -> np.ndarray:
+    """uint8 [0, 255] -> float32 [-1, 1] (ToTensor + Normalize(0.5, 0.5),
+    reference utils.py:14-16)."""
+    return (np.asarray(raw, np.float32) / 255.0) * 2.0 - 1.0
+
+
+# -- CIFAR-10 -----------------------------------------------------------------
+
+_CIFAR_DIR = "cifar-10-batches-py"
+_SYNTH_N_TRAIN = 10000
+_SYNTH_N_VAL = 2000
+
+
+def _load_cifar_pickles(batch_dir: str):
+    """Parse the standard CIFAR-10 python pickles -> (train u8 NHWC, train
+    labels, val u8 NHWC, val labels)."""
+
+    def read(name):
+        with open(os.path.join(batch_dir, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = np.asarray(d[b"data"], np.uint8).reshape(-1, 3, 32, 32)
+        return x.transpose(0, 2, 3, 1), np.asarray(d[b"labels"], np.int32)
+
+    xs, ys = zip(*[read(f"data_batch_{i}") for i in range(1, 6)])
+    train_x, train_y = np.concatenate(xs), np.concatenate(ys)
+    val_x, val_y = read("test_batch")
+    return train_x, train_y, val_x, val_y
+
+
+def _synthetic_cifar(n_train: int, n_val: int, seed: int = 0):
+    """Deterministic CIFAR-shaped synthetic images.
+
+    Low-frequency 8x8 color fields upsampled 4x plus mild per-pixel texture:
+    smooth enough that a VQ-VAE compresses them meaningfully, with
+    var(x/255) in CIFAR's ballpark (~0.06).
+    """
+    rng = np.random.default_rng(seed)
+    n = n_train + n_val
+    base = rng.integers(48, 208, size=(n, 8, 8, 3), dtype=np.int16)
+    up = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2)
+    # separable one-tap smoothing to soften block edges
+    sm = up.astype(np.float32)
+    sm[:, 1:] = 0.5 * (sm[:, 1:] + sm[:, :-1])
+    sm[:, :, 1:] = 0.5 * (sm[:, :, 1:] + sm[:, :, :-1])
+    noise = rng.normal(0.0, 12.0, size=sm.shape).astype(np.float32)
+    imgs = np.clip(sm + noise, 0, 255).astype(np.uint8)
+    labels = rng.integers(0, 10, size=(n,), dtype=np.int32)
+    return imgs[:n_train], labels[:n_train], imgs[n_train:], labels[n_train:]
+
+
+def load_cifar10(root: str = "data") -> Tuple[ArrayDataset, ArrayDataset, float, Dict]:
+    """CIFAR-10 train/val with the reference's normalization and variance
+    (utils.py:11-25, x_train_var at utils.py:79)."""
+    batch_dir = os.path.join(root, _CIFAR_DIR)
+    synthetic = not os.path.exists(os.path.join(batch_dir, "data_batch_1"))
+    if synthetic:
+        tx, ty, vx, vy = _synthetic_cifar(_SYNTH_N_TRAIN, _SYNTH_N_VAL)
+    else:
+        tx, ty, vx, vy = _load_cifar_pickles(batch_dir)
+    x_train_var = float(np.var(tx.astype(np.float64) / 255.0))
+    train = ArrayDataset(_normalize_images(tx), ty)
+    val = ArrayDataset(_normalize_images(vx), vy)
+    info = {
+        "name": "CIFAR10",
+        "synthetic": synthetic,
+        "n_train": len(train),
+        "n_val": len(val),
+    }
+    return train, val, x_train_var, info
+
+
+# -- BLOCK --------------------------------------------------------------------
+
+_BLOCK_FILE = "randact_traj_length_100_n_trials_1000_n_contexts_1.npy"
+
+
+def _resize_cubic(frame: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Bicubic resize of one (H, W, C) frame (reference cv2.INTER_CUBIC,
+    datasets/block.py:16-17), via jax.image on whatever backend is active."""
+    import jax.image
+    import jax.numpy as jnp
+
+    out = jax.image.resize(
+        jnp.asarray(frame, jnp.float32), (*hw, frame.shape[-1]), method="cubic"
+    )
+    return np.asarray(out)
+
+
+def load_block(root: str = "data") -> Tuple[ArrayDataset, ArrayDataset, float, Dict]:
+    """BLOCK dataset: object array of trajectories; frame = x[0][0][:, :, :3]
+    resized to 32x32 cubic, last-10% validation split (datasets/block.py:14-21,
+    utils.py:28-46)."""
+    path = os.path.join(root, _BLOCK_FILE)
+    raw = np.load(path, allow_pickle=True)
+    frames = np.stack(
+        [np.asarray(x[0][0])[:, :, :3].astype(np.float32) for x in raw]
+    )
+    # one batched resize instead of a python loop per frame
+    import jax.image
+    import jax.numpy as jnp
+
+    n = frames.shape[0]
+    resized = np.asarray(
+        jax.image.resize(jnp.asarray(frames), (n, 32, 32, 3), method="cubic")
+    )
+    data = np.clip(resized, 0, 255).astype(np.uint8)
+    cutoff = n // 10
+    train_u8, val_u8 = data[:-cutoff], data[-cutoff:]
+    x_train_var = float(np.var(train_u8.astype(np.float64) / 255.0))
+    train = ArrayDataset(_normalize_images(train_u8), np.zeros(len(train_u8), np.int32))
+    val = ArrayDataset(_normalize_images(val_u8), np.zeros(len(val_u8), np.int32))
+    info = {"name": "BLOCK", "path": path, "n_train": len(train), "n_val": len(val)}
+    return train, val, x_train_var, info
+
+
+# -- LATENT_BLOCK ---------------------------------------------------------------
+
+_LATENT_FILE = "latent_e_indices.npy"
+
+
+def load_latent_block(
+    root: str = "data",
+) -> Tuple[ArrayDataset, ArrayDataset, float, Dict]:
+    """Code-index grids saved by the extract pipeline; last-500 validation
+    split (datasets/block.py:45, utils.py:48-58). Flat (N, h*w) grids are
+    reshaped square for the PixelCNN."""
+    path = os.path.join(root, _LATENT_FILE)
+    data = np.asarray(np.load(path, allow_pickle=True))
+    if data.ndim == 2:
+        side = int(round(data.shape[1] ** 0.5))
+        if side * side == data.shape[1]:
+            data = data.reshape(-1, side, side)
+    data = data.astype(np.int32)
+    train_x, val_x = data[:-500], data[-500:]
+    train = ArrayDataset(train_x, np.zeros(len(train_x), np.int32))
+    val = ArrayDataset(val_x, np.zeros(len(val_x), np.int32))
+    info = {"name": "LATENT_BLOCK", "path": path, "n_train": len(train), "n_val": len(val)}
+    # discrete codes: the variance normalizer is identity (prior uses CE loss)
+    return train, val, 1.0, info
+
+
+# -- dispatcher -----------------------------------------------------------------
+
+
+def load_dataset(
+    name: str, root: str = "data"
+) -> Tuple[ArrayDataset, ArrayDataset, float, Dict]:
+    """Reference utils.py:74-98 dispatcher (CIFAR10 | BLOCK | LATENT_BLOCK)."""
+    key = name.upper()
+    if key == "CIFAR10":
+        return load_cifar10(root)
+    if key == "BLOCK":
+        return load_block(root)
+    if key == "LATENT_BLOCK":
+        return load_latent_block(root)
+    raise ValueError(
+        f"unknown dataset {name!r}; expected CIFAR10, BLOCK, or LATENT_BLOCK"
+    )
+
+
+__all__ = [
+    "ArrayDataset",
+    "load_block",
+    "load_cifar10",
+    "load_dataset",
+    "load_latent_block",
+]
