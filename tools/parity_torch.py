@@ -102,7 +102,7 @@ def main():
     train_ds, _val, x_train_var, info = load_cifar10("data")
     print(f"dataset: {info}, x_train_var={x_train_var:.6f}")
 
-    vq_cfg = VQVAEConfig(share_residual_weights=True, fused_quantizer=False)
+    vq_cfg = VQVAEConfig(share_residual_weights=True, quantizer_impl="jnp")
     train_cfg = TrainConfig(batch_size=args.batch_size, seed=args.seed)
     trainer = VQVAETrainer(vq_cfg, train_cfg, x_train_var=x_train_var)
     state = trainer.init_state()
