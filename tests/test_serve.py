@@ -58,6 +58,48 @@ def test_background_thread():
         svc.stop()
 
 
+def test_http_server_roundtrip():
+    """SamplingHTTPServer: healthz + POST /sample over a real socket."""
+    import json
+    import urllib.request
+
+    from vqvae_tpu.pipelines.serve import SamplingHTTPServer
+
+    cfg, svc = _make(batch=4)
+    svc.start()
+    server = SamplingHTTPServer(svc, decode_fn=None, port=0)
+    server.start_background()
+    host, port = server.address
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        body = json.dumps({"label": 2, "n_samples": 6}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/sample", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        codes = np.asarray(out["codes"])
+        assert codes.shape == (6, 4, 4)
+        assert codes.min() >= 0 and codes.max() < cfg.input_dim
+
+        # malformed request -> 400, not a crashed server
+        bad = urllib.request.Request(
+            f"http://{host}:{port}/sample",
+            data=json.dumps({"n_samples": -1}).encode(),
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        svc.stop()
+
+
 def test_latent_sampling_schemes():
     """Notebook cells 10-12: uniform-random and histogram code sampling."""
     import jax as _jax

@@ -215,6 +215,88 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Continuous-batching sampling service behind an HTTP JSON API."""
+    from vqvae_tpu.pipelines.sample import decode_code_grids
+    from vqvae_tpu.pipelines.serve import SamplingHTTPServer, SamplingService
+    from vqvae_tpu.train.checkpoint import load_checkpoint
+    from vqvae_tpu.train.pixelcnn_train import PixelCNNTrainer
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+    pc_cfg = PixelCNNConfig(
+        input_dim=args.n_embeddings, dim=args.img_dim ** 2,
+        n_layers=args.n_layers, img_dim=args.img_dim,
+    )
+    pc_trainer = PixelCNNTrainer(pc_cfg, TrainConfig())
+    pc_state, _, _, _ = load_checkpoint(args.prior_checkpoint, pc_trainer.init_state())
+    service = SamplingService(
+        pc_cfg, pc_state.params, batch_size=args.serve_batch, seed=args.seed
+    )
+
+    decode_fn = None
+    if args.vqvae_checkpoint:
+        vq_cfg = VQVAEConfig(
+            n_hiddens=args.n_hiddens,
+            n_residual_hiddens=args.n_residual_hiddens,
+            n_residual_layers=args.n_residual_layers,
+            embedding_dim=args.embedding_dim,
+            n_embeddings=args.n_embeddings,
+            beta=args.beta,
+            share_residual_weights=args.share_residual_weights,
+        )
+        vq_trainer = VQVAETrainer(vq_cfg, TrainConfig())
+        vq_state, _, _, _ = load_checkpoint(
+            args.vqvae_checkpoint, vq_trainer.init_state()
+        )
+        decode_fn = lambda codes: decode_code_grids(vq_trainer, vq_state, codes)
+
+    service.start()
+    server = SamplingHTTPServer(service, decode_fn, host=args.host, port=args.port)
+    print(f"serving on http://{server.address[0]}:{server.address[1]} "
+          f"(POST /sample, GET /healthz)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.stop()
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Capture an xprof device trace of training steps (SURVEY.md §5 tracing)."""
+    from vqvae_tpu.data.datasets import load_dataset
+    from vqvae_tpu.data.sampler import ReplacementSampler
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+    from vqvae_tpu.utils.profiling import annotate, profile_trace
+
+    train_ds, _val, x_train_var, _info = load_dataset(args.dataset, args.data_dir)
+    vq_cfg = VQVAEConfig(
+        n_hiddens=args.n_hiddens,
+        n_residual_hiddens=args.n_residual_hiddens,
+        n_residual_layers=args.n_residual_layers,
+        embedding_dim=args.embedding_dim,
+        n_embeddings=args.n_embeddings,
+        beta=args.beta,
+        compute_dtype=args.compute_dtype,
+    )
+    trainer = VQVAETrainer(vq_cfg, TrainConfig(batch_size=args.batch_size),
+                           x_train_var=x_train_var)
+    state = trainer.init_state()
+    sampler = ReplacementSampler(len(train_ds), args.batch_size, seed=args.seed)
+    # warm up the compile outside the trace so the trace is pure steady-state
+    state, m = trainer.step(state, train_ds.data[sampler.next_indices()])
+    np.asarray(m["loss"])
+    with profile_trace(args.trace_dir):
+        for i in range(args.profile_steps):
+            with annotate(f"train_step_{i}"):
+                state, m = trainer.step(state, train_ds.data[sampler.next_indices()])
+        np.asarray(m["loss"])  # host-transfer fence inside the trace window
+    print(f"Wrote xprof trace of {args.profile_steps} steps to {args.trace_dir}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     import subprocess
 
@@ -289,6 +371,25 @@ def build_parser() -> argparse.ArgumentParser:
 
     bm = sub.add_parser("benchmark", help="run bench.py")
     bm.set_defaults(fn=cmd_benchmark)
+
+    sv = sub.add_parser("serve", help="HTTP sampling service (continuous batching)")
+    _add_vqvae_flags(sv)
+    sv.add_argument("--img_dim", type=int, default=8)
+    sv.add_argument("--n_layers", type=int, default=15)
+    sv.add_argument("--prior-checkpoint", type=str, required=True)
+    sv.add_argument("--vqvae-checkpoint", type=str, default=None,
+                    help="attach a decoder so /sample can return images")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8787)
+    sv.add_argument("--serve_batch", type=int, default=64,
+                    help="device slots per lockstep wave")
+    sv.set_defaults(fn=cmd_serve)
+
+    pf = sub.add_parser("profile", help="capture an xprof trace of train steps")
+    _add_vqvae_flags(pf)
+    pf.add_argument("--trace_dir", type=str, default="results/trace")
+    pf.add_argument("--profile_steps", type=int, default=10)
+    pf.set_defaults(fn=cmd_profile)
 
     vz = sub.add_parser("viz", help="metric curves + reconstructions from a checkpoint")
     vz.add_argument("--checkpoint", type=str, required=True)

@@ -154,4 +154,89 @@ class SamplingService:
             self._thread = None
 
 
-__all__ = ["SamplingService", "SampleRequest"]
+class SamplingHTTPServer:
+    """Minimal stdlib HTTP front-end over :class:`SamplingService`.
+
+    The production-serving surface the reference lacks entirely (its sampling
+    lives in a notebook cell — visualization.ipynb cell 13). JSON API:
+
+    - ``GET /healthz`` -> ``{"ok": true, "pending": N}``
+    - ``POST /sample`` with ``{"label": int, "n_samples": int,
+      "decode": bool}`` -> ``{"codes": [[...]], "images": [[...]]?}``
+      (images only when a VQ-VAE decoder was attached and ``decode`` is true).
+
+    One device, many clients: requests from concurrent connections are packed
+    into the same lockstep waves by the service's background thread, so
+    serving stays a dense (B, ...) computation regardless of request mix.
+    """
+
+    def __init__(
+        self,
+        service: SamplingService,
+        decode_fn=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        import http.server
+        import json
+
+        svc = service
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"ok": True, "pending": svc._queue.qsize()})
+                else:
+                    self._send(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/sample":
+                    self._send(404, {"error": "unknown path"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    label = int(req.get("label", 0))
+                    count = int(req.get("n_samples", 1))
+                    if not (0 < count <= 4096):
+                        raise ValueError("n_samples out of range")
+                    codes = svc.submit(label, count).result(timeout=600)
+                    out = {"label": label, "codes": codes.tolist()}
+                    if decode_fn is not None and req.get("decode", False):
+                        out["images"] = np.asarray(decode_fn(codes)).tolist()
+                    self._send(200, out)
+                except Exception as e:  # surface errors to the client
+                    self._send(400, {"error": str(e)})
+
+        import socketserver
+
+        class _Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            daemon_threads = True
+
+        self._httpd = _Server((host, port), Handler)
+        self.address = self._httpd.server_address
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def start_background(self) -> None:
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        self._thread = t
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+
+
+__all__ = ["SamplingService", "SampleRequest", "SamplingHTTPServer"]

@@ -6,8 +6,9 @@ PixelCNN loop (reference pixelcnn/gated_pixelcnn.py:81,106-111). Here:
 - ``profile_trace``: context manager around ``jax.profiler`` emitting
   xprof-compatible traces (for kernel roofline work).
 - ``annotate``: named trace scopes visible in the profile.
-- ``step_timer``: accurate per-step wall timing with ``block_until_ready``
-  fences (async dispatch otherwise hides device time).
+- ``step_timer``: accurate per-step wall timing with host-transfer fences
+  (async dispatch otherwise hides device time; ``block_until_ready`` is not
+  trusted — it returns early on the tunneled TPU backend).
 """
 
 from __future__ import annotations
@@ -49,7 +50,10 @@ class step_timer:
         return self
 
     def fence(self, tree) -> None:
-        jax.block_until_ready(tree)
+        # NOT block_until_ready: on the tunneled axon backend it can return
+        # before the device finishes (verify SKILL.md gotchas), making timings
+        # fiction. A host transfer of every leaf cannot return early.
+        jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)
 
     def __exit__(self, *exc):
         self.seconds = time.perf_counter() - self._t0
