@@ -58,6 +58,41 @@ def test_background_thread():
         svc.stop()
 
 
+def test_concurrent_clients_while_background_loop_runs():
+    """4 client threads hammering blocking sample() WHILE the background loop
+    also runs waves: the wave lock must keep RNG splits and queue packing
+    consistent (round-1 verdict: sample() raced the background loop)."""
+    import threading
+
+    cfg, svc = _make(batch=8)
+    svc.start()
+    results, errors = {}, []
+
+    def client(tid):
+        try:
+            for j in range(3):
+                out = svc.sample(label=tid, n_samples=2 + (tid + j) % 3)
+                results[(tid, j)] = out
+        except Exception as e:  # surfaced below
+            errors.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive(), "client thread deadlocked"
+    finally:
+        svc.stop()
+
+    assert not errors, errors
+    assert len(results) == 12
+    for (tid, j), out in results.items():
+        assert out.shape == (2 + (tid + j) % 3, 4, 4)
+        assert out.min() >= 0 and out.max() < cfg.input_dim
+
+
 def test_http_server_roundtrip():
     """SamplingHTTPServer: healthz + POST /sample over a real socket."""
     import json

@@ -167,9 +167,12 @@ def cmd_train_prior(args) -> int:
         data_dir=args.data_dir,
         results_dir=args.results_dir,
         seed=args.seed,
+        gen_samples=args.gen_samples,
     )
     save_path = f"{args.results_dir}/latent_block_pixelcnn.npz"
-    train_pixelcnn(cfg, train_cfg, train_ds, val_ds, save_path=save_path)
+    train_pixelcnn(
+        cfg, train_cfg, train_ds, val_ds, save_path=save_path, resume=args.resume
+    )
     return 0
 
 
@@ -357,6 +360,11 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--seed", type=int, default=0)
     tp.add_argument("--data_dir", type=str, default="data")
     tp.add_argument("--results_dir", type=str, default="results")
+    tp.add_argument("--gen_samples", action="store_true",
+                    help="generate 10x10 class-conditional samples each epoch "
+                         "(reference gated_pixelcnn.py:143-149)")
+    tp.add_argument("--resume", action="store_true",
+                    help="resume from the saved prior checkpoint")
     tp.set_defaults(fn=cmd_train_prior)
 
     sm = sub.add_parser("sample", help="AR sample codes -> decode images")

@@ -23,6 +23,16 @@ def maybe_initialize_distributed(cfg: MeshConfig) -> None:
         kwargs["num_processes"] = cfg.num_processes
     if cfg.process_id is not None:
         kwargs["process_id"] = cfg.process_id
+    # CPU multi-process collectives need an explicit backend; gloo ships with
+    # jaxlib. Only applies when the CPU platform was explicitly forced (tests,
+    # tools/mp_worker.py); on TPU pods collectives ride ICI/DCN instead.
+    # (default_backend() must NOT be consulted here — it would initialize the
+    # backend before the rendezvous.)
+    if jax.config.jax_platforms == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # jaxlib without this option: single-host only
     jax.distributed.initialize(**kwargs)
 
 

@@ -54,4 +54,38 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
 
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+def put_global(tree, shardings):
+    """Place host arrays (the full GLOBAL values, identical on every process)
+    onto the mesh under per-leaf ``shardings`` (a matching pytree, or a single
+    sharding applied to every leaf).
+
+    Single-process: plain device_put. Multi-process: device_put cannot target
+    non-addressable devices, so each leaf is assembled with
+    ``make_array_from_callback`` — every process serves exactly the shards its
+    local devices own by slicing the global host value. Used for replicated
+    state, row-sharded codebook leaves, and device-staged datasets.
+    """
+    single = jax.process_count() == 1
+    if not isinstance(shardings, NamedSharding):
+        if single:
+            return jax.device_put(tree, shardings)
+        return jax.tree_util.tree_map(put_global, tree, shardings)
+    if single:
+        return jax.device_put(tree, shardings)
+
+    def place(leaf):
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, shardings, lambda idx: arr[idx]
+        )
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "put_global",
+    "replicated_sharding",
+    "shard_batch",
+]

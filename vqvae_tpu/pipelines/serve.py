@@ -64,9 +64,15 @@ class SamplingService:
         self._queue: "queue.Queue[SampleRequest]" = queue.Queue()
         self._rng = jax.random.PRNGKey(seed)
         self._shape = (cfg.img_dim, cfg.img_dim)
+        # One lock serializes whole waves (pack + RNG split + decode +
+        # distribute): sample() runs waves on caller threads while start()'s
+        # background loop also runs them — without it concurrent waves race on
+        # self._rng and interleave queue packing. Waves are device-serial
+        # anyway (one chip), so the lock costs no throughput.
+        self._wave_lock = threading.Lock()
 
         @jax.jit
-        def wave(params_unused, labels, rng):
+        def wave(labels, rng):
             return self._sampler.generate(
                 labels, rng, self._shape, batch_size
             )
@@ -81,7 +87,10 @@ class SamplingService:
         """Blocking convenience wrapper: enqueue + run waves until done."""
         req = self.submit(label, n_samples)
         while not req._event.is_set():
-            self.run_wave()
+            if self.run_wave() == 0:
+                # queue drained by a concurrent wave (e.g. the background
+                # loop picked the request up) — wait, don't busy-spin
+                req._event.wait(0.005)
         return req.result(0)
 
     def submit(self, label: int, n_samples: int) -> SampleRequest:
@@ -95,7 +104,13 @@ class SamplingService:
         """Pack pending request slots into one wave, decode, distribute results.
 
         Returns the number of slots actually serving requests this wave.
+        Thread-safe: callers may invoke concurrently (sample() on caller
+        threads + the start() background loop); waves serialize on _wave_lock.
         """
+        with self._wave_lock:
+            return self._run_wave_locked()
+
+    def _run_wave_locked(self) -> int:
         # pack slots
         slots: List[Tuple[SampleRequest, int]] = []  # (request, count)
         labels = np.zeros((self.batch_size,), np.int32)
@@ -119,7 +134,7 @@ class SamplingService:
             return 0
 
         self._rng, sub = jax.random.split(self._rng)
-        grids = np.asarray(self._wave(None, jnp.asarray(labels), sub))
+        grids = np.asarray(self._wave(jnp.asarray(labels), sub))
 
         offset = 0
         for req, take in slots:

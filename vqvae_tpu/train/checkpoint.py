@@ -11,6 +11,10 @@ resume path the reference lacks:
   latest checkpoint (failure-recovery — SURVEY.md §5).
 - multi-host: only process 0 writes (state is replicated); every host can read.
 - ``latest_checkpoint`` + step-tagged filenames give resume-from-latest.
+- format v2: leaves are saved under their pytree KEY PATHS (not positions) and
+  restored by name with shape AND dtype checks, so two configs whose trees
+  happen to have the same leaf count/shapes can never silently cross-load.
+  v1 (positional ``leaf_{i}``) checkpoints are still readable.
 """
 
 from __future__ import annotations
@@ -24,11 +28,19 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+FORMAT_VERSION = 2
+_LEAF_PREFIX = "leaf::"
 
-def _flatten_state(state) -> Tuple[Dict[str, np.ndarray], Any]:
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    return arrays, treedef
+
+def _flatten_state(state) -> Dict[str, np.ndarray]:
+    flat, _treedef = jax.tree_util.tree_flatten_with_path(state)
+    arrays = {}
+    for kp, leaf in flat:
+        key = _LEAF_PREFIX + jax.tree_util.keystr(kp)
+        if key in arrays:
+            raise ValueError(f"duplicate checkpoint key path {key!r}")
+        arrays[key] = np.asarray(leaf)
+    return arrays
 
 
 def save_checkpoint(
@@ -42,8 +54,9 @@ def save_checkpoint(
     if jax.process_index() != 0:
         return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays, _ = _flatten_state(state)
+    arrays = _flatten_state(state)
     meta = {
+        "format_version": FORMAT_VERSION,
         "step": int(step),
         "metrics": metrics or {},
         "hyperparameters": hyperparameters or {},
@@ -65,22 +78,57 @@ def save_checkpoint(
 def load_checkpoint(path: str, state_template) -> Tuple[Any, int, Dict, Dict]:
     """Restore into the structure of ``state_template``.
 
+    Format v2: leaves matched BY KEY PATH with shape + dtype validation —
+    a checkpoint from a different config/tree fails loudly, never cross-loads.
+    Format v1 (positional): legacy fallback, shape-checked only.
+
     Returns (state, step, metrics, hyperparameters).
     """
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
-        leaves_t, treedef = jax.tree_util.tree_flatten(state_template)
-        n = meta["n_leaves"]
-        if n != len(leaves_t):
-            raise ValueError(
-                f"checkpoint has {n} leaves, template has {len(leaves_t)}"
-            )
-        leaves = [np.asarray(data[f"leaf_{i}"]) for i in range(n)]
-        for i, (saved, tmpl) in enumerate(zip(leaves, leaves_t)):
-            if hasattr(tmpl, "shape") and tuple(saved.shape) != tuple(tmpl.shape):
+        version = int(meta.get("format_version", 1))
+        flat_t, treedef = jax.tree_util.tree_flatten_with_path(state_template)
+
+        if version >= 2:
+            saved_keys = {k for k in data.files if k.startswith(_LEAF_PREFIX)}
+            want_keys = {
+                _LEAF_PREFIX + jax.tree_util.keystr(kp) for kp, _ in flat_t
+            }
+            if saved_keys != want_keys:
+                missing = sorted(want_keys - saved_keys)[:5]
+                extra = sorted(saved_keys - want_keys)[:5]
                 raise ValueError(
-                    f"leaf {i}: checkpoint shape {saved.shape} != template {tmpl.shape}"
+                    f"checkpoint tree mismatch: missing leaves {missing}, "
+                    f"unexpected leaves {extra}"
                 )
+            leaves = []
+            for kp, tmpl in flat_t:
+                key = _LEAF_PREFIX + jax.tree_util.keystr(kp)
+                saved = np.asarray(data[key])
+                if hasattr(tmpl, "shape") and tuple(saved.shape) != tuple(tmpl.shape):
+                    raise ValueError(
+                        f"{key}: checkpoint shape {saved.shape} != template "
+                        f"{tuple(tmpl.shape)}"
+                    )
+                if hasattr(tmpl, "dtype") and saved.dtype != np.dtype(tmpl.dtype):
+                    raise ValueError(
+                        f"{key}: checkpoint dtype {saved.dtype} != template "
+                        f"{np.dtype(tmpl.dtype)}"
+                    )
+                leaves.append(saved)
+        else:  # v1 positional fallback (kept for one round)
+            n = meta["n_leaves"]
+            if n != len(flat_t):
+                raise ValueError(
+                    f"checkpoint has {n} leaves, template has {len(flat_t)}"
+                )
+            leaves = [np.asarray(data[f"leaf_{i}"]) for i in range(n)]
+            for i, (saved, (_kp, tmpl)) in enumerate(zip(leaves, flat_t)):
+                if hasattr(tmpl, "shape") and tuple(saved.shape) != tuple(tmpl.shape):
+                    raise ValueError(
+                        f"leaf {i}: checkpoint shape {saved.shape} != template "
+                        f"{tuple(tmpl.shape)}"
+                    )
         state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, meta["step"], meta.get("metrics", {}), meta.get("hyperparameters", {})
 

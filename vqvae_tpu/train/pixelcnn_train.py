@@ -12,6 +12,7 @@ flattened grid (gated_pixelcnn.py:92-97) == mean softmax cross-entropy.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -30,7 +31,7 @@ from vqvae_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
-from vqvae_tpu.train.checkpoint import save_checkpoint
+from vqvae_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
 
 
 class PixelCNNState(NamedTuple):
@@ -124,7 +125,12 @@ class PixelCNNTrainer:
         kept as the correctness oracle).
         """
         if rng is None:
-            rng = jax.random.PRNGKey(int(time.time()))
+            # Deterministic default (framework determinism contract —
+            # SURVEY.md §5 race-detection row): seed + current step, so each
+            # call differs but the whole run replays bit-identically.
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.train_cfg.seed), int(state.step)
+            )
         shape = shape or (self.cfg.img_dim, self.cfg.img_dim)
         labels = jnp.asarray(labels_np, jnp.int32)
 
@@ -160,8 +166,16 @@ def train_pixelcnn(
     mesh_cfg: MeshConfig = MeshConfig(),
     verbose: bool = True,
     save_path: Optional[str] = None,
+    resume: bool = False,
 ) -> Tuple[PixelCNNState, Dict]:
-    """Best-val epoch loop (reference gated_pixelcnn.py:153-169)."""
+    """Best-val epoch loop (reference gated_pixelcnn.py:153-169).
+
+    ``resume``: restore ``save_path`` (if present) and continue from the epoch
+    after its tag — the prior-side resume path the reference lacks.
+    ``train_cfg.gen_samples``: per-epoch sample generation (reference
+    gated_pixelcnn.py:143-149 generate_samples — labels 0..9 x 10) via the
+    cached AR decoder; grids are stored in the returned history.
+    """
     trainer = PixelCNNTrainer(cfg, train_cfg, mesh_cfg)
     state = trainer.init_state()
 
@@ -178,7 +192,27 @@ def train_pixelcnn(
 
     best_loss, last_saved = float("inf"), -1
     history = {"train_loss": [], "val_loss": []}
-    for epoch in range(1, train_cfg.epochs):
+    start_epoch = 1
+    if resume and save_path and os.path.exists(save_path):
+        state, saved_epoch, saved_hist, _hp = load_checkpoint(save_path, state)
+        state = jax.device_put(state, trainer._rep)
+        history = {k: list(v) for k, v in saved_hist.items()
+                   if k in ("train_loss", "val_loss")}
+        best_loss = min(history.get("val_loss") or [float("inf")])
+        start_epoch, last_saved = saved_epoch + 1, saved_epoch
+        # replay the samplers' RNG schedules so resumed epochs see the batches
+        # an uninterrupted run would have
+        for _ in range(start_epoch - 1):
+            for _idx in train_sampler.epoch():
+                pass
+            for _idx in val_sampler.epoch():
+                pass
+        if verbose and jax.process_index() == 0:
+            print(f"Resumed from {save_path} at epoch {saved_epoch}", flush=True)
+
+    ckpt_writer = AsyncCheckpointer()
+    epoch_samples = []
+    for epoch in range(start_epoch, train_cfg.epochs):
         if verbose:
             print(f"\nEpoch {epoch}:", flush=True)
         epoch_losses = []
@@ -209,7 +243,7 @@ def train_pixelcnn(
         if train_cfg.save or cur <= best_loss:
             best_loss, last_saved = min(cur, best_loss), epoch
             if save_path:
-                save_checkpoint(
+                ckpt_writer.save(
                     save_path, state, epoch,
                     metrics=history, hyperparameters=cfg.to_dict(),
                 )
@@ -218,7 +252,26 @@ def train_pixelcnn(
         elif verbose:
             print(f"Not saving model! Last saved: {last_saved}", flush=True)
 
-    return state, {"history": history, "best_val_loss": best_loss, "trainer": trainer}
+        if train_cfg.gen_samples:
+            # Reference generate_samples each epoch (gated_pixelcnn.py:143-149):
+            # 10 samples per class label, via the cached decoder. Kept out of
+            # ``history`` (which is JSON-serialized into checkpoints).
+            labels = np.repeat(np.arange(10, dtype=np.int32), 10)
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(train_cfg.seed + 17), epoch
+            )
+            grids = trainer.generate(state, labels, rng=rng)
+            epoch_samples.append(grids)
+            if verbose:
+                print(f"Generated samples {grids.shape}", flush=True)
+
+    ckpt_writer.wait()
+    return state, {
+        "history": history,
+        "best_val_loss": best_loss,
+        "trainer": trainer,
+        "samples": epoch_samples,
+    }
 
 
 __all__ = ["PixelCNNTrainer", "PixelCNNState", "train_pixelcnn"]

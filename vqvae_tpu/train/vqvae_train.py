@@ -33,6 +33,7 @@ from vqvae_tpu.models.vqvae import VQVAE
 from vqvae_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    put_global,
     replicated_sharding,
     shard_batch,
 )
@@ -177,7 +178,9 @@ class VQVAETrainer:
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         if rng is None:
             rng = jax.random.PRNGKey(self.train_cfg.seed)
-        return jax.device_put(self._build_state(rng), self._state_shard)
+        # put_global: multi-process-safe placement (every process builds the
+        # same state from the shared seed; each serves its devices' shards)
+        return put_global(self._build_state(rng), self._state_shard)
 
     # -- steps ---------------------------------------------------------------
 
@@ -294,7 +297,7 @@ class VQVAETrainer:
 
     def stage_dataset(self, data_np) -> None:
         """Place the training images in device HBM (replicated) once."""
-        self._device_data = jax.device_put(np.asarray(data_np), self._rep)
+        self._device_data = put_global(np.asarray(data_np), self._rep)
 
     def steps_by_index(self, state: TrainState, idx_np) -> Tuple[TrainState, Dict]:
         """K updates gathered on-device from the staged dataset.
@@ -351,7 +354,7 @@ def train_vqvae(
         ckpt = latest_checkpoint(train_cfg.results_dir, name)
         if ckpt is not None:
             state, step, saved_metrics, _hp = load_checkpoint(ckpt, state)
-            state = jax.device_put(state, trainer._state_shard)
+            state = put_global(state, trainer._state_shard)
             history = MetricHistory.from_dict(saved_metrics)
             start_step = step + 1
             if verbose and jax.process_index() == 0:
