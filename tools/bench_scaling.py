@@ -1,0 +1,183 @@
+"""Scaling harness: encode+quantize throughput vs data-parallel mesh size.
+
+BASELINE.md demands images/sec at 1 chip / 1 host / >=2 hosts with >=80%
+scaling efficiency. This environment has exactly ONE real TPU chip, so:
+
+- The multi-device rows run on the virtual CPU mesh
+  (xla_force_host_platform_device_count) with n_data in {1, 2, 4, 8}. Virtual
+  devices SHARE one host's cores, so ideal weak scaling there is FLAT total
+  throughput (flat_throughput_ratio ~1.0 means sharding/collective plumbing
+  adds no overhead), NOT n-times; the real-slice efficiency formula
+  rate(n) / (n * rate(1)) only applies when each device is a real chip. A
+  real slice fills in the same rows by running `--backend tpu` per topology,
+  and the JSON carries the formula ready to apply.
+- The 1-real-chip TPU row is measured with `--backend tpu` (single-tenant
+  chip: never run concurrently with another TPU process).
+
+Each mesh size runs in a FRESH subprocess (the device count must be fixed
+before jax initializes). Results -> artifacts/scaling.json.
+
+Usage:
+    python tools/bench_scaling.py            # CPU sweep + summary table
+    python tools/bench_scaling.py --tpu      # also measure the 1-chip TPU row
+    python tools/bench_scaling.py worker --backend cpu --n-devices 4  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PER_DEVICE_BATCH = 128  # weak scaling: global batch = n_devices * this
+CPU_ITERS = (5, 25)
+TPU_ITERS = (20, 120)
+
+
+def worker(backend: str, n_devices: int) -> None:
+    """Measure encode+quantize images/sec on an n_devices data mesh; print one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvae_tpu.config import MeshConfig, VQVAEConfig
+    from vqvae_tpu.models.vqvae import VQVAE
+    from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+    assert jax.device_count() >= n_devices, (
+        f"need {n_devices} devices, have {jax.device_count()}"
+    )
+    mesh = make_mesh(n_devices, "data")
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh, "data")
+
+    cfg = VQVAEConfig(compute_dtype="bfloat16" if backend == "tpu" else "float32")
+    model = VQVAE(cfg)
+    batch = PER_DEVICE_BATCH * n_devices
+    x = jax.device_put(
+        np.random.default_rng(0).normal(size=(batch, 32, 32, 3)).astype(np.float32),
+        bsh,
+    )
+    params = jax.device_put(
+        model.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))["params"],
+        rep,
+    )
+
+    def encode_quantize(params, x):
+        z_e = model.apply({"params": params}, x, method=model.encode)
+        return model.apply({"params": params}, z_e, method=model.quantize).indices
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(params, x, iters):
+        def body(carry, _):
+            xc, acc = carry
+            idx = encode_quantize(params, xc)
+            bump = (idx.sum().astype(jnp.float32) % 7.0) * jnp.float32(1e-9)
+            return (xc + bump, acc + idx.sum()), None
+
+        (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None, length=iters)
+        return acc
+
+    def timed(iters):
+        np.asarray(loop(params, x, iters))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(params, x, iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = CPU_ITERS if backend == "cpu" else TPU_ITERS
+    per_iter = (timed(hi) - timed(lo)) / (hi - lo)
+    print(
+        json.dumps(
+            {
+                "backend": backend,
+                "n_devices": n_devices,
+                "global_batch": batch,
+                "images_per_sec": batch / per_iter,
+            }
+        )
+    )
+
+
+def launch_worker(backend: str, n_devices: int) -> dict:
+    env = dict(os.environ)
+    if backend == "cpu":
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "").replace("--xla_force_host_platform_device_count=8", "")
+            + f" --xla_force_host_platform_device_count={n_devices}"
+        )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "worker",
+         "--backend", backend, "--n-devices", str(n_devices)],
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"worker {backend}x{n_devices} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd")
+    pw = sub.add_parser("worker")
+    pw.add_argument("--backend", required=True)
+    pw.add_argument("--n-devices", type=int, required=True)
+    ap.add_argument("--tpu", action="store_true", help="also measure the real 1-chip TPU row")
+    ap.add_argument("--out", default="artifacts/scaling.json")
+    args = ap.parse_args()
+
+    if args.cmd == "worker":
+        worker(args.backend, args.n_devices)
+        return 0
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = launch_worker("cpu", n)
+        rows.append(r)
+        print(f"cpu mesh n_data={n}: {r['images_per_sec']:.0f} img/s", flush=True)
+    base = rows[0]["images_per_sec"]
+    for r in rows:
+        # Virtual devices share the host's cores: ideal is FLAT throughput.
+        r["flat_throughput_ratio"] = r["images_per_sec"] / base
+
+    tpu_row = None
+    if args.tpu:
+        tpu_row = launch_worker("tpu", 1)
+        print(f"tpu 1 chip: {tpu_row['images_per_sec']:.0f} img/s", flush=True)
+
+    payload = {
+        "metric": "encode_quantize_images_per_sec (weak scaling, per-device batch "
+        f"{PER_DEVICE_BATCH})",
+        "note": "cpu rows validate sharding/collective plumbing on the virtual "
+        "mesh (virtual devices share one host's cores, so ideal is a flat "
+        "total rate — flat_throughput_ratio ~1.0 — not linear speedup); a "
+        "real TPU slice fills in the same rows via --backend tpu per "
+        "topology and applies scaling_efficiency = rate(n) / (n * rate(1))",
+        "scaling_efficiency_formula": "rate(n_chips) / (n_chips * rate(1_chip))",
+        "host_cpu_cores": os.cpu_count(),
+        "baseline_target": ">=0.80 from 1 host to 2 hosts (BASELINE.md)",
+        "cpu_virtual_mesh": rows,
+        "tpu_1chip": tpu_row,
+        "min_flat_throughput_ratio": min(r["flat_throughput_ratio"] for r in rows),
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,218 @@
+"""5000-update convergence-parity artifact: JAX/TPU trainer vs torch reference.
+
+The BASELINE.md north star: recon MSE within 1% of the PyTorch reference at
+5k updates at identical hyperparameters. This tool produces the committed
+evidence (VERDICT.md round-1 item 1):
+
+  1. `python tools/train_reference_synth.py --steps 5000 --init_from_jax \
+        --out artifacts/reference_5k_jaxinit.npz`
+       -> torch reference curves (CPU), initialized from OUR deterministic
+          seed-0 init so both runs start from bit-identical weights
+  2. `python tools/parity_5k.py jax --steps 5000 --out artifacts/jax_5k.npz`
+       -> our curves (TPU; identical dataset, sampler seed, batch schedule,
+          hyperparams; share_residual_weights=True so the architecture matches
+          the reference's accidental weight sharing, reference
+          models/residual.py:44-45)
+  3. `python tools/parity_5k.py report` -> PARITY.md + artifacts/parity_5k.json
+
+Init note: identical init is REQUIRED for the <1% criterion. A control run
+with torch's own independent init (artifacts/reference_5k_torchinit.npz)
+lands ~20% away in final recon MSE at 5k updates — seed-to-seed spread of
+the chaotic code-assignment dynamics dwarfs any framework difference at this
+horizon, so only the identical-init comparison isolates the framework.
+Step-level identical-init parity is covered separately by
+tools/parity_torch.py and the CI gate tests/test_parity_reference.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+WINDOW = 100  # final-window size for the convergence comparison
+
+
+def run_jax(steps: int, out: str, batch_size: int, seed: int) -> None:
+    from vqvae_tpu.config import TrainConfig, VQVAEConfig
+    from vqvae_tpu.data.datasets import load_dataset
+    from vqvae_tpu.train.vqvae_train import train_vqvae
+
+    import jax
+
+    vq_cfg = VQVAEConfig(share_residual_weights=True)
+    train_cfg = TrainConfig(
+        batch_size=batch_size,
+        n_updates=steps,
+        seed=seed,
+        save=False,
+        steps_per_dispatch=50,
+    )
+    dataset = load_dataset("CIFAR10", "data")
+    print(f"backend={jax.default_backend()} dataset={dataset[3]}", flush=True)
+    t0 = time.time()
+    _state, history, _trainer = train_vqvae(vq_cfg, train_cfg, dataset=dataset)
+    dt = time.time() - t0
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savez(
+        out,
+        recon_errors=np.array(history.recon_errors),
+        loss_vals=np.array(history.loss_vals),
+        perplexities=np.array(history.perplexities),
+        x_train_var=dataset[2],
+        backend=jax.default_backend(),
+        wall_seconds=dt,
+    )
+    print(f"saved {out} ({steps} steps in {dt:.0f}s)", flush=True)
+
+
+def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
+    ref = np.load(ref_path)
+    ours = np.load(jax_path)
+    n = min(len(ref["recon_errors"]), len(ours["recon_errors"]))
+    w = min(WINDOW, n)
+
+    def stats(curve):
+        return float(np.mean(curve[n - w : n]))
+
+    rows = []
+    for key, label in [
+        ("recon_errors", "recon MSE / x_train_var"),
+        ("loss_vals", "total loss"),
+        ("perplexities", "perplexity"),
+    ]:
+        r, j = stats(ref[key]), stats(ours[key])
+        rows.append(
+            {
+                "metric": label,
+                "torch_ref": r,
+                "jax_tpu": j,
+                "rel_deviation": abs(j - r) / max(abs(r), 1e-9),
+            }
+        )
+    recon_dev = rows[0]["rel_deviation"]
+    ok = recon_dev < 0.01
+
+    # checkpoints of the curve at a few milestones for the report
+    milestones = [m for m in (50, 500, 1000, 2500, n - 1) if m < n]
+    curve = []
+    for m in milestones:
+        ww = min(50, m + 1)
+        curve.append(
+            {
+                "step": m,
+                "torch_recon": float(np.mean(ref["recon_errors"][m + 1 - ww : m + 1])),
+                "jax_recon": float(np.mean(ours["recon_errors"][m + 1 - ww : m + 1])),
+            }
+        )
+
+    payload = {
+        "steps": n,
+        "window": w,
+        "criterion": "final-window recon MSE relative deviation < 1%",
+        "recon_deviation": recon_dev,
+        "ok": bool(ok),
+        "rows": rows,
+        "curve_milestones": curve,
+        "jax_backend": str(ours["backend"]) if "backend" in ours else "unknown",
+        "jax_wall_seconds": float(ours["wall_seconds"]) if "wall_seconds" in ours else None,
+    }
+    os.makedirs(os.path.dirname(json_out) or ".", exist_ok=True)
+    with open(json_out, "w") as f:
+        json.dump(payload, f, indent=2)
+
+    lines = [
+        "# PARITY — 5000-update convergence vs the PyTorch reference",
+        "",
+        f"North star (BASELINE.md): recon MSE within 1% of the reference at "
+        f"{n} updates, identical hyperparameters.",
+        "",
+        "## Setup",
+        "",
+        "- Hyperparameters: reference defaults verbatim (batch 32, 512x64 codebook,",
+        "  beta 0.25, Adam(3e-4, amsgrad), `share_residual_weights=True` to match the",
+        "  reference's stack aliasing at models/residual.py:44-45).",
+        "- Identical dataset + batch schedule: both runs draw batches from the same",
+        "  `ReplacementSampler(seed=0)` over the same dataset (the synthetic CIFAR-10",
+        "  fallback — this environment has no network egress, so the real CIFAR-10",
+        "  download is unavailable; the comparison is apples-to-apples either way).",
+        "- Identical initial weights: the torch model is initialized from our",
+        "  deterministic seed-0 init (`train_reference_synth.py --init_from_jax`,",
+        "  converted HWIO->OIHW by `tools/parity_torch.copy_params_to_torch`).",
+        "  Control: with torch's own independent init",
+        "  (`artifacts/reference_5k_torchinit.npz`) the final recon MSE lands ~20%",
+        "  away — at 5k updates, init-seed spread dwarfs framework differences, so",
+        "  identical init is what isolates the framework.",
+        "- Torch side: `/root/reference` imported READ-ONLY, run on CPU",
+        "  (`tools/train_reference_synth.py`). JAX side: this framework on "
+        f"{payload['jax_backend']}",
+        "  (`tools/parity_5k.py jax`).",
+        "",
+        f"## Result — {'PASS' if ok else 'FAIL'}",
+        "",
+        f"Final-window (last {w} steps) means:",
+        "",
+        "| metric | torch reference | this framework | rel. deviation |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['metric']} | {r['torch_ref']:.6f} | {r['jax_tpu']:.6f} "
+            f"| {r['rel_deviation']:.4%} |"
+        )
+    lines += [
+        "",
+        f"**Recon-MSE deviation: {recon_dev:.4%}** (criterion: < 1%).",
+        "",
+        "## Trajectory (windowed recon MSE)",
+        "",
+        "| step | torch | jax |",
+        "|---|---|---|",
+    ]
+    for c in curve:
+        lines.append(f"| {c['step']} | {c['torch_recon']:.5f} | {c['jax_recon']:.5f} |")
+    lines += [
+        "",
+        "Raw curves: `artifacts/reference_5k_jaxinit.npz` (identical init),",
+        "`artifacts/reference_5k_torchinit.npz` (independent-init control),",
+        "`artifacts/jax_5k.npz`; summary: `artifacts/parity_5k.json`.",
+        "",
+        "A fast identical-init step-parity gate runs in CI:",
+        "`tests/test_parity_reference.py` (25-step curves, ~1e-4 step-0 agreement).",
+        "",
+    ]
+    with open(md_out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"recon deviation {recon_dev:.4%} -> {'PARITY OK' if ok else 'PARITY FAIL'}")
+    print(f"wrote {md_out}, {json_out}")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pj = sub.add_parser("jax")
+    pj.add_argument("--steps", type=int, default=5000)
+    pj.add_argument("--batch_size", type=int, default=32)
+    pj.add_argument("--seed", type=int, default=0)
+    pj.add_argument("--out", type=str, default="artifacts/jax_5k.npz")
+    pr = sub.add_parser("report")
+    pr.add_argument("--ref", type=str, default="artifacts/reference_5k_jaxinit.npz")
+    pr.add_argument("--jax", type=str, default="artifacts/jax_5k.npz")
+    pr.add_argument("--md", type=str, default="PARITY.md")
+    pr.add_argument("--json", type=str, default="artifacts/parity_5k.json")
+    args = ap.parse_args()
+    if args.cmd == "jax":
+        run_jax(args.steps, args.out, args.batch_size, args.seed)
+        return 0
+    return report(args.ref, args.jax, args.md, args.json)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="/tmp/reference_5k.npz")
     ap.add_argument("--log_interval", type=int, default=50)
+    ap.add_argument(
+        "--init_from_jax",
+        action="store_true",
+        help="start from OUR framework's (deterministic, seed-derived) init "
+        "instead of torch's own — required for the <1%% convergence-parity "
+        "criterion, since independent inits diverge far more than framework "
+        "differences at 5k updates (chaotic code-assignment dynamics)",
+    )
     args = ap.parse_args()
 
     torch.manual_seed(args.seed)
@@ -47,6 +55,21 @@ def main():
     from models.vqvae import VQVAE as TorchVQVAE  # reference, read-only
 
     model = TorchVQVAE(128, 32, 2, 512, 64, 0.25)
+    if args.init_from_jax:
+        from tools.parity_torch import copy_params_to_torch
+        from vqvae_tpu.config import TrainConfig, VQVAEConfig
+        from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+        trainer = VQVAETrainer(
+            VQVAEConfig(share_residual_weights=True),
+            TrainConfig(batch_size=args.batch_size, seed=args.seed),
+            x_train_var=x_train_var,
+        )
+        params_np = jax.tree_util.tree_map(
+            np.asarray, trainer.init_state().params
+        )
+        copy_params_to_torch(params_np, model, 2)
+        print("initialized torch model from the JAX seed-0 init", flush=True)
     opt = torch.optim.Adam(model.parameters(), lr=3e-4, amsgrad=True)
     sampler = ReplacementSampler(len(train_ds), args.batch_size, seed=args.seed)
 

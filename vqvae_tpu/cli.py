@@ -55,6 +55,11 @@ def _add_vqvae_flags(p: argparse.ArgumentParser):
     p.add_argument("--quantizer_precision", type=str, default="highest",
                    choices=["highest", "high", "default"],
                    help="distance-matmul precision (highest = bitwise argmin parity)")
+    p.add_argument("--conv_precision", type=str, default="highest",
+                   choices=["highest", "high", "default"],
+                   help="MXU precision for fp32 conv operands (highest = the "
+                        "reference's fp32 training arithmetic; moot under "
+                        "--compute_dtype bfloat16)")
     p.add_argument("--quantizer_impl", type=str, default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="quantizer forward backend")
@@ -96,6 +101,7 @@ def cmd_train_vqvae(args) -> int:
         beta=args.beta,
         share_residual_weights=args.share_residual_weights,
         compute_dtype=args.compute_dtype,
+        conv_precision=args.conv_precision,
         ema_codebook=args.ema_codebook,
         ema_decay=args.ema_decay,
         quantizer_precision=args.quantizer_precision,

@@ -49,6 +49,12 @@ class VQVAEConfig(_DictMixin):
     share_residual_weights: bool = False
     # Compute dtype for conv stacks ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # MXU precision for fp32 conv operands: "highest" (6-pass, fp32-exact —
+    # matches the reference's fp32 training; lax's DEFAULT would silently run
+    # fp32 convs as single-pass bf16 on TPU, whose gradient noise measurably
+    # degrades 5k-update convergence — see PARITY.md), "high" (bf16x3), or
+    # "default". Irrelevant when compute_dtype="bfloat16" (the serving path).
+    conv_precision: str = "highest"
     # Quantizer forward backend: "auto" (XLA matmul+argmin unless the (N, K)
     # score matrix exceeds the HBM budget, then the fused Pallas streaming
     # kernel), "pallas" (force fused kernel), "jnp" (force XLA).
@@ -79,6 +85,8 @@ class PixelCNNConfig(_DictMixin):
     n_classes: int = 10
     img_dim: int = 8                # latent grid side
     compute_dtype: str = "float32"
+    # MXU precision for fp32 conv operands — see VQVAEConfig.conv_precision.
+    conv_precision: str = "highest"
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,7 @@ class Decoder(nn.Module):
     n_res_layers: int
     res_h_dim: int
     share_residual_weights: bool = False
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,14 +47,15 @@ class Decoder(nn.Module):
         w2, b2 = convt_params("convt2", h, h // 2, 4)
         w3, b3 = convt_params("convt3", h // 2, 3, 4)
 
-        x = conv_transpose2d(x, w1, b1, stride=1, padding=1)
+        p = self.precision
+        x = conv_transpose2d(x, w1, b1, stride=1, padding=1, precision=p)
         x = ResidualStack(
             h, h, self.res_h_dim, self.n_res_layers,
             share_weights=self.share_residual_weights,
-            name="res_stack",
+            precision=p, name="res_stack",
         )(x)
-        x = nn.relu(conv_transpose2d(x, w2, b2, stride=2, padding=1))
-        return conv_transpose2d(x, w3, b3, stride=2, padding=1)
+        x = nn.relu(conv_transpose2d(x, w2, b2, stride=2, padding=1, precision=p))
+        return conv_transpose2d(x, w3, b3, stride=2, padding=1, precision=p)
 
 
 __all__ = ["Decoder"]

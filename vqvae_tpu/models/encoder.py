@@ -24,6 +24,7 @@ class Encoder(nn.Module):
     n_res_layers: int
     res_h_dim: int
     share_residual_weights: bool = False
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -41,13 +42,14 @@ class Encoder(nn.Module):
         w2, b2 = conv_params("conv2", h // 2, h, 4)
         w3, b3 = conv_params("conv3", h, h, 3)
 
-        x = nn.relu(conv2d(x, w1, b1, stride=2, padding=1))
-        x = nn.relu(conv2d(x, w2, b2, stride=2, padding=1))
-        x = conv2d(x, w3, b3, stride=1, padding=1)
+        p = self.precision
+        x = nn.relu(conv2d(x, w1, b1, stride=2, padding=1, precision=p))
+        x = nn.relu(conv2d(x, w2, b2, stride=2, padding=1, precision=p))
+        x = conv2d(x, w3, b3, stride=1, padding=1, precision=p)
         return ResidualStack(
             h, h, self.res_h_dim, self.n_res_layers,
             share_weights=self.share_residual_weights,
-            name="res_stack",
+            precision=p, name="res_stack",
         )(x)
 
 

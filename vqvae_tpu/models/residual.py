@@ -32,6 +32,7 @@ class ResidualLayer(nn.Module):
     in_dim: int
     h_dim: int
     res_h_dim: int
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -47,8 +48,8 @@ class ResidualLayer(nn.Module):
         )
         # reference-exact: the inplace ReLU turns the skip into relu(x) too
         xr = nn.relu(x)
-        h = conv2d(xr, w1, stride=1, padding=1)
-        h = conv2d(nn.relu(h), w2, stride=1, padding=0)
+        h = conv2d(xr, w1, stride=1, padding=1, precision=self.precision)
+        h = conv2d(nn.relu(h), w2, stride=1, padding=0, precision=self.precision)
         return xr + h
 
 
@@ -58,17 +59,21 @@ class ResidualStack(nn.Module):
     res_h_dim: int
     n_res_layers: int
     share_weights: bool = False
+    precision: str | None = None
 
     @nn.compact
     def __call__(self, x):
         if self.share_weights:
-            layer = ResidualLayer(self.in_dim, self.h_dim, self.res_h_dim)
+            layer = ResidualLayer(
+                self.in_dim, self.h_dim, self.res_h_dim, precision=self.precision
+            )
             for _ in range(self.n_res_layers):
                 x = layer(x)
         else:
             for i in range(self.n_res_layers):
                 x = ResidualLayer(
-                    self.in_dim, self.h_dim, self.res_h_dim, name=f"layer_{i}"
+                    self.in_dim, self.h_dim, self.res_h_dim,
+                    precision=self.precision, name=f"layer_{i}",
                 )(x)
         return nn.relu(x)
 

@@ -38,6 +38,7 @@ class VQVAE(nn.Module):
             cfg.n_residual_layers,
             cfg.n_residual_hiddens,
             share_residual_weights=cfg.share_residual_weights,
+            precision=cfg.conv_precision,
         )
         fan_in = cfg.n_hiddens  # 1x1 conv
         self.pre_quant_w = self.param(
@@ -59,6 +60,7 @@ class VQVAE(nn.Module):
             cfg.n_residual_layers,
             cfg.n_residual_hiddens,
             share_residual_weights=cfg.share_residual_weights,
+            precision=cfg.conv_precision,
         )
 
     @property
@@ -73,7 +75,10 @@ class VQVAE(nn.Module):
         assignment and losses keep reference precision.
         """
         z_e = self.encoder(x.astype(self._compute_dtype))
-        z_e = conv2d(z_e, self.pre_quant_w, self.pre_quant_b)
+        z_e = conv2d(
+            z_e, self.pre_quant_w, self.pre_quant_b,
+            precision=self.config.conv_precision,
+        )
         return z_e.astype(jnp.float32)
 
     def quantize(self, z_e) -> QuantizeOutput:

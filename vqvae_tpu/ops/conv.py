@@ -18,7 +18,7 @@ Kernels are stored HWIO relative to the *consuming* convolution:
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,15 +26,29 @@ from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# On TPU, lax's DEFAULT precision feeds fp32 conv operands to the MXU as
+# single-pass bf16 (8-bit mantissa). The reference trains in full fp32; at
+# 5k updates the bf16 gradient noise measurably degrades convergence (see
+# PARITY.md), so training paths pass "highest" (6-pass fp32-exact) while
+# serving uses compute_dtype=bfloat16, where precision is moot.
+_PRECISIONS = {
+    None: None,
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
 
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
-def conv2d(x, w, b=None, stride=1, padding=0):
+def conv2d(x, w, b=None, stride=1, padding=0, precision: Optional[str] = None):
     """2-D convolution, torch Conv2d semantics, NHWC.
 
     x: (N, H, W, C_in); w: (kh, kw, C_in, C_out); b: (C_out,) or None.
+    precision: None/"default" | "high" | "highest" (MXU pass count for fp32
+    operands; irrelevant when x is already bfloat16).
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
@@ -44,13 +58,14 @@ def conv2d(x, w, b=None, stride=1, padding=0):
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DN,
+        precision=_PRECISIONS[precision],
     )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
 
 
-def conv_transpose2d(x, w, b=None, stride=1, padding=0):
+def conv_transpose2d(x, w, b=None, stride=1, padding=0, precision: Optional[str] = None):
     """2-D transposed convolution, torch ConvTranspose2d semantics, NHWC.
 
     Implemented as conv_general_dilated with lhs_dilation=stride, spatially
@@ -68,6 +83,7 @@ def conv_transpose2d(x, w, b=None, stride=1, padding=0):
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=_DN,
+        precision=_PRECISIONS[precision],
     )
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -40,8 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_N = 256
+_TILE_N = 256        # legacy default; auto tiling below usually picks larger
 _MAX_TILE_K = 512
+# VMEM budget for auto tile selection: z tile + e tile (double-buffered) +
+# the (tile_n, tile_k) score intermediate + carry scratch, in fp32 bytes.
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -117,12 +120,37 @@ def _argmin_kernel(
         idx_ref[:] = best_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def _auto_tiles(n: int, d: int, k_codes: int) -> tuple[int, int]:
+    """Pick (tile_n, tile_k) maximizing codebook reuse under the VMEM budget.
+
+    The dominant HBM traffic is the codebook re-streamed once per ROW tile
+    (n/tile_n passes of K*D words), so grow tile_n first — at the stress
+    config (2048x8192x256) tile_n=1024 cuts codebook traffic 4x vs the old
+    fixed 256. tile_k stays <=512: the (tile_n, tile_k) score intermediate
+    is the VMEM hog and the argmin epilogue cost is O(tile_n*tile_k) either
+    way. Measured sweep: tools/autotune_quantizer.py.
+    """
+    tile_k = min(_MAX_TILE_K, _round_up(k_codes, 128))
+    tile_n = _TILE_N
+    while tile_n < min(_round_up(n, 256), 2048):
+        cand = tile_n * 2
+        vmem = 4 * (cand * d + 2 * tile_k * d + cand * tile_k + 4 * cand)
+        if vmem > _VMEM_BUDGET_BYTES:
+            break
+        tile_n = cand
+    return tile_n, tile_k
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision", "tile_n", "tile_k")
+)
 def nearest_code_pallas(
     z_flat: jnp.ndarray,
     codebook: jnp.ndarray,
     interpret: bool | None = None,
     precision: str = "highest",
+    tile_n: int | None = None,
+    tile_k: int | None = None,
 ):
     """(N, D), (K, D) -> (z_q (N, D) float32, indices (N,) int32)."""
     if interpret is None:
@@ -134,11 +162,13 @@ def nearest_code_pallas(
     n, d = z_flat.shape
     k_codes = codebook.shape[0]
 
-    tile_k = min(_MAX_TILE_K, _round_up(k_codes, 128))
-    n_pad = _round_up(max(n, _TILE_N), _TILE_N)
+    auto_n, auto_k = _auto_tiles(n, d, k_codes)
+    tile_n = auto_n if tile_n is None else tile_n
+    tile_k = auto_k if tile_k is None else min(tile_k, _round_up(k_codes, 128))
+    n_pad = _round_up(max(n, tile_n), tile_n)
     k_pad = _round_up(k_codes, tile_k)
     n_k = k_pad // tile_k
-    n_n = n_pad // _TILE_N
+    n_n = n_pad // tile_n
 
     zf = z_flat.astype(jnp.float32)
     cb = codebook.astype(jnp.float32)
@@ -164,17 +194,17 @@ def nearest_code_pallas(
         functools.partial(_argmin_kernel, tile_k=tile_k, n_k=n_k, mode=mode),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE_N, d), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k, d), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_k), lambda i, k: (0, k), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_TILE_N, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM
+            (tile_n, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_N, 1), jnp.float32),
-            pltpu.VMEM((_TILE_N, 1), jnp.int32),
+            pltpu.VMEM((tile_n, 1), jnp.float32),
+            pltpu.VMEM((tile_n, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

@@ -1,0 +1,105 @@
+"""Analytic FLOP counts and chip rooflines for MFU reporting.
+
+The reference publishes no performance numbers (BASELINE.md), so the honest
+denominator for our throughput is the chip itself: MFU = achieved FLOP/s over
+the chip's peak, plus an HBM-bandwidth roofline bound for the memory-bound
+regime. Used by bench.py (the driver's primary metric) and
+tools/bench_scaling.py.
+
+FLOP convention: 1 multiply-add = 2 FLOPs. Conv FLOPs = 2 * out_pixels *
+C_out * (kh * kw * C_in) per image; the quantizer distance matmul =
+2 * rows * K * D (reference hot loop models/quantizer.py:49-51).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+
+@dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    peak_bf16_flops: float   # FLOP/s, dense bf16 matmul peak
+    hbm_bytes_per_sec: float
+
+
+# Public peak numbers (cloud.google.com/tpu/docs/system-architecture):
+#   v5e (v5 lite): 197 TFLOP/s bf16, 819 GB/s HBM
+#   v4: 275 TFLOP/s bf16, 1228 GB/s; v5p: 459 TFLOP/s, 2765 GB/s
+#   v6e (Trillium): 918 TFLOP/s, 1640 GB/s
+_CHIPS: Dict[str, ChipSpec] = {
+    "v5 lite": ChipSpec("TPU v5e", 197e12, 819e9),
+    "v5litepod": ChipSpec("TPU v5e", 197e12, 819e9),
+    "v5e": ChipSpec("TPU v5e", 197e12, 819e9),
+    "v4": ChipSpec("TPU v4", 275e12, 1228e9),
+    "v5p": ChipSpec("TPU v5p", 459e12, 2765e9),
+    "v6e": ChipSpec("TPU v6e", 918e12, 1640e9),
+    "v6 lite": ChipSpec("TPU v6e", 918e12, 1640e9),
+}
+
+
+def chip_spec(device_kind: str) -> ChipSpec | None:
+    """Resolve a jax device_kind string (e.g. 'TPU v5 lite') to peak specs."""
+    kind = device_kind.lower()
+    for key, spec in _CHIPS.items():
+        if key in kind:
+            return spec
+    return None
+
+
+def conv_flops(out_h: int, out_w: int, c_in: int, c_out: int, kh: int, kw: int) -> int:
+    return 2 * out_h * out_w * c_out * kh * kw * c_in
+
+
+def encoder_flops_per_image(
+    img_hw: int = 32,
+    in_channels: int = 3,
+    n_hiddens: int = 128,
+    n_residual_hiddens: int = 32,
+    n_residual_layers: int = 2,
+) -> int:
+    """FLOPs of the reference encoder stack (models/encoder.py:24-40) per image."""
+    h = img_hw
+    half = n_hiddens // 2
+    total = conv_flops(h // 2, h // 2, in_channels, half, 4, 4)          # k4 s2
+    total += conv_flops(h // 4, h // 4, half, n_hiddens, 4, 4)           # k4 s2
+    total += conv_flops(h // 4, h // 4, n_hiddens, n_hiddens, 3, 3)      # k3 s1
+    res = conv_flops(h // 4, h // 4, n_hiddens, n_residual_hiddens, 3, 3)
+    res += conv_flops(h // 4, h // 4, n_residual_hiddens, n_hiddens, 1, 1)
+    return total + n_residual_layers * res
+
+
+def quantizer_flops_per_image(
+    img_hw: int = 32,
+    embedding_dim: int = 64,
+    n_embeddings: int = 512,
+    n_hiddens: int = 128,
+) -> int:
+    """Pre-quant 1x1 conv + distance matmul FLOPs per image (8x8 latent grid)."""
+    g = img_hw // 4  # two stride-2 convs
+    pre = conv_flops(g, g, n_hiddens, embedding_dim, 1, 1)
+    dist = 2 * g * g * n_embeddings * embedding_dim
+    return pre + dist
+
+
+def encode_quantize_flops_per_image(**kw) -> int:
+    enc_keys = {
+        k: kw[k]
+        for k in ("img_hw", "in_channels", "n_hiddens", "n_residual_hiddens", "n_residual_layers")
+        if k in kw
+    }
+    q_keys = {
+        k: kw[k] for k in ("img_hw", "embedding_dim", "n_embeddings", "n_hiddens") if k in kw
+    }
+    return encoder_flops_per_image(**enc_keys) + quantizer_flops_per_image(**q_keys)
+
+
+__all__ = [
+    "ChipSpec",
+    "chip_spec",
+    "conv_flops",
+    "encoder_flops_per_image",
+    "quantizer_flops_per_image",
+    "encode_quantize_flops_per_image",
+]
