@@ -96,6 +96,7 @@ def test_nearest_code_custom_vjp_semantics(rng):
     np.testing.assert_allclose(np.asarray(gcb), expected, rtol=1e-5)
 
 
+@pytest.mark.parametrize("epilogue", ["where", "argmin"])
 @pytest.mark.parametrize(
     "n,d,k",
     [
@@ -105,18 +106,19 @@ def test_nearest_code_custom_vjp_semantics(rng):
         (512, 128, 1024),   # multi-K-tile path
     ],
 )
-def test_pallas_kernel_parity_interpret(rng, n, d, k):
+def test_pallas_kernel_parity_interpret(rng, n, d, k, epilogue):
     from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
 
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     cb = jnp.asarray((rng.standard_normal((k, d)) * 0.1).astype(np.float32))
-    zq_p, idx_p = nearest_code_pallas(z, cb, interpret=True)
+    zq_p, idx_p = nearest_code_pallas(z, cb, interpret=True, epilogue=epilogue)
     zq_j, idx_j = nearest_code_jnp(z, cb)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
     np.testing.assert_allclose(np.asarray(zq_p), np.asarray(zq_j), atol=1e-5)
 
 
-def test_argmin_tie_break_first_index():
+@pytest.mark.parametrize("epilogue", ["where", "argmin"])
+def test_argmin_tie_break_first_index(epilogue):
     """torch.argmin returns the first minimum; the kernel must match."""
     cb = jnp.asarray(np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]], np.float32))
     z = jnp.asarray(np.array([[1.0, 0.0]], np.float32))  # ties rows 0 and 2
@@ -125,7 +127,7 @@ def test_argmin_tie_break_first_index():
 
     from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
 
-    _, idx_p = nearest_code_pallas(z, cb, interpret=True)
+    _, idx_p = nearest_code_pallas(z, cb, interpret=True, epilogue=epilogue)
     assert int(idx_p[0]) == 0
 
 

@@ -63,6 +63,9 @@ def main() -> int:
                     choices=["highest", "high", "default"])
     ap.add_argument("--tile-ns", type=int, nargs="*", default=[512, 1024, 2048])
     ap.add_argument("--tile-ks", type=int, nargs="*", default=[512])
+    ap.add_argument("--epilogues", type=str, nargs="*", default=["where"],
+                    choices=["where", "argmin"])
+    ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
     n, k, d = CONFIGS[args.config]
@@ -72,8 +75,12 @@ def main() -> int:
     from vqvae_tpu.ops.quantizer import nearest_code_jnp
     from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
 
-    dt = measure(functools.partial(nearest_code_jnp, precision=args.precision), n, k, d)
-    print(f"xla: {dt*1e6:8.1f} us  ({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)", flush=True)
+    if not args.skip_xla:
+        dt = measure(
+            functools.partial(nearest_code_jnp, precision=args.precision), n, k, d
+        )
+        print(f"xla: {dt*1e6:8.1f} us  ({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)",
+              flush=True)
 
     best = (None, float("inf"))
     for tn in args.tile_ns:
@@ -82,20 +89,23 @@ def main() -> int:
         for tk in args.tile_ks:
             if tk > 2 * k:
                 continue
-            op = functools.partial(
-                nearest_code_pallas, precision=args.precision, tile_n=tn, tile_k=tk
-            )
-            try:
-                dt = measure(op, n, k, d)
-            except Exception as e:
-                print(f"pallas tile_n={tn:5d} tile_k={tk:5d}: FAILED "
-                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
-                continue
-            print(f"pallas tile_n={tn:5d} tile_k={tk:5d}: {dt*1e6:8.1f} us  "
-                  f"({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)", flush=True)
-            if dt < best[1]:
-                best = ((tn, tk), dt)
-    print(f"best pallas: tiles={best[0]} {best[1]*1e6:.1f} us", flush=True)
+            for ep in args.epilogues:
+                op = functools.partial(
+                    nearest_code_pallas, precision=args.precision,
+                    tile_n=tn, tile_k=tk, epilogue=ep,
+                )
+                try:
+                    dt = measure(op, n, k, d)
+                except Exception as e:
+                    print(f"pallas tile_n={tn:5d} tile_k={tk:5d} {ep}: FAILED "
+                          f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+                    continue
+                print(f"pallas tile_n={tn:5d} tile_k={tk:5d} {ep:6s}: "
+                      f"{dt*1e6:8.1f} us  ({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)",
+                      flush=True)
+                if dt < best[1]:
+                    best = ((tn, tk, ep), dt)
+    print(f"best pallas: {best[0]} {best[1]*1e6:.1f} us", flush=True)
     return 0
 
 

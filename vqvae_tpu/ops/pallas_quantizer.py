@@ -91,7 +91,8 @@ def _dot_zt_et(z, e, mode):
 
 
 def _argmin_kernel(
-    z_ref, e_ref, esq_ref, idx_ref, best_val, best_idx, *, tile_k, n_k, mode
+    z_ref, e_ref, esq_ref, idx_ref, best_val, best_idx,
+    *, tile_k, n_k, mode, epilogue
 ):
     k = pl.program_id(1)
 
@@ -104,12 +105,20 @@ def _argmin_kernel(
     prods = _dot_zt_et(z_ref[:], e_ref[:], mode)
     scores = esq_ref[:] - 2.0 * prods
 
-    tile_min = jnp.min(scores, axis=1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    big = jnp.int32(2**30)
-    tile_arg = jnp.min(
-        jnp.where(scores == tile_min, col, big), axis=1, keepdims=True
-    ) + k * tile_k
+    if epilogue == "argmin":
+        # One fused min+argmin lowering (Mosaic reduce); jnp.argmin picks the
+        # first minimum, matching torch tie-breaks within the tile.
+        tile_min = jnp.min(scores, axis=1, keepdims=True)
+        tile_arg = (
+            jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None] + k * tile_k
+        )
+    else:  # "where": min, then first column equal to it
+        tile_min = jnp.min(scores, axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        big = jnp.int32(2**30)
+        tile_arg = jnp.min(
+            jnp.where(scores == tile_min, col, big), axis=1, keepdims=True
+        ) + k * tile_k
 
     upd = tile_min < best_val[:]
     best_val[:] = jnp.where(upd, tile_min, best_val[:])
@@ -142,7 +151,8 @@ def _auto_tiles(n: int, d: int, k_codes: int) -> tuple[int, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision", "tile_n", "tile_k")
+    jax.jit,
+    static_argnames=("interpret", "precision", "tile_n", "tile_k", "epilogue"),
 )
 def nearest_code_pallas(
     z_flat: jnp.ndarray,
@@ -151,6 +161,7 @@ def nearest_code_pallas(
     precision: str = "highest",
     tile_n: int | None = None,
     tile_k: int | None = None,
+    epilogue: str = "where",
 ):
     """(N, D), (K, D) -> (z_q (N, D) float32, indices (N,) int32)."""
     if interpret is None:
@@ -191,7 +202,9 @@ def nearest_code_pallas(
     grid = (n_n, n_k)
 
     idx = pl.pallas_call(
-        functools.partial(_argmin_kernel, tile_k=tile_k, n_k=n_k, mode=mode),
+        functools.partial(
+            _argmin_kernel, tile_k=tile_k, n_k=n_k, mode=mode, epilogue=epilogue
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, d), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
