@@ -1,6 +1,6 @@
 """CI regression gate: short-horizon identical-init parity vs the torch
 reference (the fast version of tools/parity_torch.py; the committed 5k-update
-evidence lives in artifacts/PARITY.json via tools/parity_run.py).
+evidence lives in artifacts/parity_5k.json via tools/parity_5k.py).
 
 Identical init weights + identical batches + identical optimizer math => the
 per-step loss trajectories must track tightly for the first ~25 steps (before

@@ -47,6 +47,9 @@ def _add_vqvae_flags(p: argparse.ArgumentParser):
                    help="strict parity with the reference's accidental weight sharing")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint for this filename")
+    p.add_argument("--amsgrad_impl", type=str, default="torch",
+                   choices=["torch", "optax"],
+                   help="AMSGrad flavor: torch = exact reference semantics")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="updates per device dispatch (scan); amortizes host overhead")
     p.add_argument("--ema_codebook", action="store_true",
@@ -119,6 +122,7 @@ def cmd_train_vqvae(args) -> int:
         data_dir=args.data_dir,
         results_dir=args.results_dir,
         steps_per_dispatch=args.steps_per_dispatch,
+        amsgrad_impl=args.amsgrad_impl,
     )
     if args.save:
         name = args.filename or "run"

@@ -96,6 +96,12 @@ class TrainConfig(_DictMixin):
     batch_size: int = 32
     n_updates: int = 5000
     learning_rate: float = 3e-4     # Adam(amsgrad) — main.py:55
+    # AMSGrad flavor: "torch" = exact torch-1.1.0 semantics (raw-second-moment
+    # max, current-step bias correction — what the reference trains with);
+    # "optax" = optax.amsgrad's bias-corrected-max variant, which effectively
+    # anneals the LR ~2x after the step-~250 gradient spike (see
+    # train/optim.py and PARITY.md root-cause section).
+    amsgrad_impl: str = "torch"
     log_interval: int = 50
     dataset: str = "CIFAR10"        # CIFAR10 | BLOCK | LATENT_BLOCK
     seed: int = 0

@@ -54,9 +54,9 @@ class TrainState(NamedTuple):
     ema_means: Any = None   # (K, D) running sums of assigned encoder outputs
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    """Adam with AMSGrad, torch-default betas/eps (reference main.py:55)."""
-    return optax.amsgrad(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+# Adam(amsgrad) with reference-exact torch-1.1.0 semantics by default; see
+# train/optim.py for why optax.amsgrad is NOT semantics-identical.
+from vqvae_tpu.train.optim import make_optimizer
 
 
 class VQVAETrainer:
@@ -75,7 +75,7 @@ class VQVAETrainer:
         self.mesh_cfg = mesh_cfg
         self.x_train_var = float(x_train_var)
         self.model = VQVAE(vq_cfg)
-        self.tx = make_optimizer(train_cfg.learning_rate)
+        self.tx = make_optimizer(train_cfg.learning_rate, train_cfg.amsgrad_impl)
         self.n_code = int(mesh_cfg.n_code)
         if mesh is not None:
             self.mesh = mesh
