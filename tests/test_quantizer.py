@@ -136,3 +136,19 @@ def test_perplexity_bounds(rng):
     out = quantize(jnp.asarray(z), jnp.asarray(cb), 0.25)
     assert 1.0 <= float(out.perplexity) <= cb.shape[0]
     assert int(out.counts.sum()) == z.size // cb.shape[1]
+
+
+def test_pallas_tile_override_validation(rng):
+    """Misaligned explicit tiles fail loudly, not deep in Mosaic (ADVICE r2)."""
+    from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
+
+    z, cb = _setup(rng)
+    z = z.reshape(-1, z.shape[-1])
+    with pytest.raises(ValueError, match="tile_k"):
+        nearest_code_pallas(z, cb, interpret=True, tile_k=100)
+    with pytest.raises(ValueError, match="tile_n"):
+        nearest_code_pallas(z, cb, interpret=True, tile_n=12)
+    # aligned overrides still work
+    zq, idx = nearest_code_pallas(z, cb, interpret=True, tile_n=64, tile_k=128)
+    zq_ref, idx_ref = nearest_code_jnp(z, cb)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))

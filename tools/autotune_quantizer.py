@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
+import os
 import sys
 import time
 
@@ -66,6 +68,9 @@ def main() -> int:
     ap.add_argument("--epilogues", type=str, nargs="*", default=["where"],
                     choices=["where", "argmin"])
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--out", type=str, default=None,
+                    help="append results as a JSON object keyed by "
+                         "config/precision into this artifact file")
     args = ap.parse_args()
 
     n, k, d = CONFIGS[args.config]
@@ -75,12 +80,15 @@ def main() -> int:
     from vqvae_tpu.ops.quantizer import nearest_code_jnp
     from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
 
+    rows = []
     if not args.skip_xla:
         dt = measure(
             functools.partial(nearest_code_jnp, precision=args.precision), n, k, d
         )
         print(f"xla: {dt*1e6:8.1f} us  ({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)",
               flush=True)
+        rows.append({"impl": "xla", "us": dt * 1e6,
+                     "eff_tflops": 2.0 * n * k * d / dt / 1e12})
 
     best = (None, float("inf"))
     for tn in args.tile_ns:
@@ -103,9 +111,35 @@ def main() -> int:
                 print(f"pallas tile_n={tn:5d} tile_k={tk:5d} {ep:6s}: "
                       f"{dt*1e6:8.1f} us  ({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)",
                       flush=True)
+                rows.append({"impl": "pallas", "tile_n": tn, "tile_k": tk,
+                             "epilogue": ep, "us": dt * 1e6,
+                             "eff_tflops": 2.0 * n * k * d / dt / 1e12})
                 if dt < best[1]:
                     best = ((tn, tk, ep), dt)
     print(f"best pallas: {best[0]} {best[1]*1e6:.1f} us", flush=True)
+
+    if args.out:
+        data = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                data = json.load(f)
+        key = f"{args.config}/{args.precision}"
+        entry = {
+            "n": n, "k": k, "d": d,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0].device_kind),
+            "rows": rows,
+            "best_pallas": {"tiles": best[0], "us": best[1] * 1e6}
+            if best[0] else None,
+        }
+        xla_rows = [r for r in rows if r["impl"] == "xla"]
+        if xla_rows and best[0]:
+            entry["winner"] = "xla" if xla_rows[0]["us"] <= best[1] * 1e6 else "pallas"
+        data[key] = entry
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(data, f, indent=2)
+        print(f"wrote {args.out} [{key}]", flush=True)
     return 0
 
 

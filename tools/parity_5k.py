@@ -93,6 +93,86 @@ def _seed_runs(art_dir: str):
     return torch_paths, jax_paths
 
 
+def _metric_verdict(torch_finals, jax_finals, lower_is_better=True):
+    """Seed-distribution comparison with a decidable, non-gameable criterion.
+
+    ADVICE.md round 2 (tools/parity_5k.py:144): "|t| < 2 => PASS" treats
+    failure-to-reject on an underpowered test as success. Replaced with:
+
+    - "pass":   one-sided 95% upper confidence bound (Welch-Satterthwaite df)
+                on the relative means-difference (jax - torch)/torch is below
+                +1% — jax certified no worse than torch+1% (the BASELINE.md
+                north star), possibly because jax is genuinely better.
+    - "no_detectable_bias": the two-sided 95% CI contains 0 AND the point
+                estimate |dev| is smaller than torch's OWN relative seed std —
+                the frameworks differ by less than torch differs from itself.
+                NOT a certificate of <1%; the report states the resolvable
+                margin and the run count a 1% certificate would need.
+    - "bias_detected": otherwise.
+
+    For perplexity higher is better; the non-inferiority direction flips.
+    """
+    from scipy import stats as sps
+
+    nt, nj = len(torch_finals), len(jax_finals)
+    t_mean, j_mean = float(np.mean(torch_finals)), float(np.mean(jax_finals))
+    t_var = float(np.var(torch_finals, ddof=1)) if nt > 1 else 0.0
+    j_var = float(np.var(jax_finals, ddof=1)) if nj > 1 else 0.0
+    se = (t_var / nt + j_var / nj) ** 0.5
+    # Welch-Satterthwaite degrees of freedom
+    if se > 0 and nt > 1 and nj > 1:
+        df = (t_var / nt + j_var / nj) ** 2 / (
+            (t_var / nt) ** 2 / (nt - 1) + (j_var / nj) ** 2 / (nj - 1)
+        )
+    else:
+        df = max(nt + nj - 2, 1)
+    tcrit95 = float(sps.t.ppf(0.95, df)) if se > 0 else 0.0
+    diff_rel = (j_mean - t_mean) / t_mean
+    se_rel = se / abs(t_mean)
+    welch_t = (j_mean - t_mean) / se if se > 0 else 0.0
+    # adverse direction: higher is worse for losses, lower is worse for perplexity
+    if lower_is_better:
+        adverse_bound = diff_rel + tcrit95 * se_rel   # upper bound
+    else:
+        adverse_bound = -(diff_rel - tcrit95 * se_rel)  # -(lower bound)
+    tcrit975 = float(sps.t.ppf(0.975, df)) if se > 0 else 0.0
+    ci95 = (diff_rel - tcrit975 * se_rel, diff_rel + tcrit975 * se_rel)
+    t_rel_std = (t_var**0.5) / abs(t_mean) if t_mean else 0.0
+    pooled_rel_std = ((t_var + j_var) / 2) ** 0.5 / abs(t_mean)
+    # runs/side for a 1% one-sided non-inferiority certificate at ~80% power
+    n_needed = (
+        int(np.ceil(2 * ((1.645 + 0.84) * pooled_rel_std / 0.01) ** 2))
+        if pooled_rel_std > 0
+        else None
+    )
+    if adverse_bound < 0.01:
+        verdict = "pass"
+    elif ci95[0] <= 0.0 <= ci95[1] and abs(diff_rel) < t_rel_std:
+        verdict = "no_detectable_bias"
+    else:
+        verdict = "bias_detected"
+    return {
+        "n_torch": nt,
+        "n_jax": nj,
+        "torch_mean": t_mean,
+        "jax_mean": j_mean,
+        "torch_rel_std": t_rel_std,
+        "jax_rel_std": (j_var**0.5) / abs(j_mean) if j_mean else 0.0,
+        "torch_band": [float(min(torch_finals)), float(max(torch_finals))],
+        "jax_band": [float(min(jax_finals)), float(max(jax_finals))],
+        "rel_diff_of_means": diff_rel,
+        "welch_t": welch_t,
+        "welch_df": float(df),
+        "ci95_rel_diff": [float(ci95[0]), float(ci95[1])],
+        "adverse_bound_95": float(adverse_bound),
+        "jax_mean_in_torch_band": bool(
+            min(torch_finals) <= j_mean <= max(torch_finals)
+        ),
+        "runs_per_side_for_1pct_certificate": n_needed,
+        "verdict": verdict,
+    }
+
+
 def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
     ref = np.load(ref_path)
     ours = np.load(jax_path)
@@ -120,28 +200,35 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
     recon_dev = rows[0]["rel_deviation"]
 
     # Seed-distribution statistics: at 5k updates the reference's OWN
-    # seed-to-seed spread in final recon is ~3% (the code-assignment dynamics
+    # seed-to-seed spread in final recon is ~4% (the code-assignment dynamics
     # are chaotic; identical-init runs decorrelate after ~50 steps), so the
     # <1% north star is only meaningful for the MEANS of the two seed
     # distributions, not a single pair of runs.
     art_dir = os.path.dirname(ref_path) or "artifacts"
     torch_paths, jax_paths = _seed_runs(art_dir)
+    metrics = {}
+    for key, label, lower_better in [
+        ("recon_errors", "recon", True),
+        ("loss_vals", "total_loss", True),
+        ("perplexities", "perplexity", False),
+    ]:
+        tf = [_final_window(p, key) for p in torch_paths]
+        jf = [_final_window(p, key) for p in jax_paths]
+        metrics[label] = _metric_verdict(tf, jf, lower_is_better=lower_better)
+    rec = metrics["recon"]
     torch_finals = [_final_window(p) for p in torch_paths]
     jax_finals = [_final_window(p) for p in jax_paths]
-    t_mean, j_mean = float(np.mean(torch_finals)), float(np.mean(jax_finals))
-    t_std = float(np.std(torch_finals, ddof=1)) if len(torch_finals) > 1 else 0.0
-    j_std = float(np.std(jax_finals, ddof=1)) if len(jax_finals) > 1 else 0.0
-    mean_dev = abs(j_mean - t_mean) / t_mean
-    in_band = min(torch_finals) <= j_mean <= max(torch_finals)
-    # Welch's t on the seed-final distributions: with per-run rel std of
-    # 4-9%, resolving a 1% means-difference would need O(hundreds) of runs,
-    # so the decidable criterion is "no detectable framework bias".
-    se = (
-        (t_std**2 / max(len(torch_finals), 1) + j_std**2 / max(len(jax_finals), 1))
-        ** 0.5
+    t_mean, j_mean = rec["torch_mean"], rec["jax_mean"]
+    mean_dev = abs(rec["rel_diff_of_means"])
+    in_band = rec["jax_mean_in_torch_band"]
+    welch_t = rec["welch_t"]
+    # Primary gate: recon (the north-star metric) passes or shows no bias,
+    # AND neither secondary metric shows a detectable adverse bias.
+    ok = bool(
+        metrics["recon"]["verdict"] in ("pass", "no_detectable_bias")
+        and metrics["total_loss"]["verdict"] != "bias_detected"
+        and metrics["perplexity"]["verdict"] != "bias_detected"
     )
-    welch_t = (j_mean - t_mean) / se if se > 0 else 0.0
-    ok = bool(mean_dev < 0.01 or abs(welch_t) < 2.0)
 
     # checkpoints of the curve at a few milestones for the report
     milestones = [m for m in (50, 500, 1000, 2500, n - 1) if m < n]
@@ -160,19 +247,23 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         "steps": n,
         "window": w,
         "criterion": (
-            "deviation of seed-mean final-window recon MSE < 1%, or no "
-            "detectable framework bias (Welch |t| < 2 on the seed-final "
-            "distributions — the training process's own seed noise is 4-9% "
-            "relative, far above the 1% target, so only the bias test is "
-            "decidable at feasible run counts)"
+            "per metric: 'pass' if the one-sided 95% Welch upper confidence "
+            "bound on the adverse relative means-difference is < +1% (the "
+            "BASELINE.md north star, certified); 'no_detectable_bias' if the "
+            "two-sided 95% CI contains 0 AND |diff of means| < torch's own "
+            "relative seed std (frameworks differ by less than torch differs "
+            "from itself); else 'bias_detected'. Overall ok = recon in "
+            "{pass, no_detectable_bias} and no secondary metric shows "
+            "bias_detected."
         ),
         "identical_init_pair_deviation": recon_dev,
         "torch_seed_finals": dict(zip([os.path.basename(p) for p in torch_paths], torch_finals)),
         "jax_seed_finals": dict(zip([os.path.basename(p) for p in jax_paths], jax_finals)),
+        "metrics": metrics,
         "torch_mean": t_mean,
-        "torch_rel_std": t_std / t_mean,
+        "torch_rel_std": rec["torch_rel_std"],
         "jax_mean": j_mean,
-        "jax_rel_std": j_std / j_mean if j_mean else 0.0,
+        "jax_rel_std": rec["jax_rel_std"],
         "deviation_of_means": mean_dev,
         "welch_t": welch_t,
         "jax_mean_in_torch_band": bool(in_band),
@@ -216,27 +307,38 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         f"## Result — {'PASS' if ok else 'FAIL'}",
         "",
         "At 5k updates the training process's OWN seed-to-seed spread in final",
-        f"recon MSE is {t_std / t_mean:.1%} (torch, {len(torch_finals)} runs) / "
-        f"{j_std / j_mean:.1%} (ours, {len(jax_finals)} runs) relative std —",
+        f"recon MSE is {rec['torch_rel_std']:.1%} (torch, {rec['n_torch']} runs) / "
+        f"{rec['jax_rel_std']:.1%} (ours, {rec['n_jax']} runs) relative std —",
         "the code-assignment dynamics are chaotic (identical-init runs",
         "decorrelate after ~50 steps; see the CI step-parity gate for the",
-        "exact-math check), so no feasible number of 5k-update runs can certify",
-        "a 1% means-difference. The decidable comparison is between the two",
-        "frameworks' seed distributions:",
+        "exact-math check). Certifying a 1% means-difference at this noise",
+        f"floor needs ~{rec['runs_per_side_for_1pct_certificate']} runs/side; "
+        f"at n={rec['n_torch']}/{rec['n_jax']} the decidable comparison is the",
+        "per-metric verdict below (one-sided 95% non-inferiority bound, then",
+        "a bias test floored at torch's own seed noise — see `criterion` in",
+        "`artifacts/parity_5k.json`; criterion per ADVICE.md round 2):",
         "",
-        "| | final recon MSE (window mean over seeds) |",
-        "|---|---|",
-        f"| torch reference, {len(torch_finals)} runs | {t_mean:.4f} "
-        f"(± {t_std:.4f}; band [{min(torch_finals):.4f}, {max(torch_finals):.4f}]) |",
-        f"| this framework (TPU), {len(jax_finals)} runs | {j_mean:.4f} "
-        f"(± {j_std:.4f}; band [{min(jax_finals):.4f}, {max(jax_finals):.4f}]) |",
-        f"| deviation of means | {mean_dev:.2%} "
-        f"({'ours better — lower recon' if j_mean < t_mean else 'torch better'}) |",
-        f"| **Welch t (bias test)** | **{welch_t:+.2f}** "
-        f"({'no detectable bias' if abs(welch_t) < 2 else 'BIAS DETECTED'}) |",
+        "| metric | torch mean (n, rel std) | jax mean (n, rel std) | diff of "
+        "means | 95% CI of diff | adverse bound (95%) | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ] + [
+        f"| {name} | {m['torch_mean']:.4f} (n={m['n_torch']}, "
+        f"{m['torch_rel_std']:.1%}) | {m['jax_mean']:.4f} (n={m['n_jax']}, "
+        f"{m['jax_rel_std']:.1%}) | {m['rel_diff_of_means']:+.2%} | "
+        f"[{m['ci95_rel_diff'][0]:+.2%}, {m['ci95_rel_diff'][1]:+.2%}] | "
+        f"{m['adverse_bound_95']:+.2%} | **{m['verdict']}** |"
+        for name, m in metrics.items()
+    ] + [
         "",
-        f"The framework's seed-mean lands {'inside' if in_band else 'outside'} the "
-        "reference's observed seed band"
+        "(adverse bound = one-sided 95% upper confidence limit on the relative",
+        "means-difference in the direction that would make this framework worse:",
+        "higher loss / lower perplexity. 'pass' certifies the BASELINE.md +1%",
+        "margin; 'no_detectable_bias' additionally requires the point estimate",
+        "to sit below torch's own seed noise, so it cannot be reached by just",
+        "running an underpowered test.)",
+        "",
+        f"The framework's recon seed-mean lands {'inside' if in_band else 'outside'} "
+        "the reference's observed seed band"
         + (
             ", on the better (lower-recon) side."
             if not in_band and j_mean < min(torch_finals)
@@ -269,6 +371,23 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         lines.append(f"| {c['step']} | {c['torch_recon']:.5f} | {c['jax_recon']:.5f} |")
     lines += [
         "",
+        "## Root cause of the round-2 total-loss bias: AMSGrad semantics",
+        "",
+        "Round-2 seeds showed a systematic bias (Welch t = -3.5 on final total",
+        "loss; jax 15% lower). Root cause: `optax.amsgrad` maxes the",
+        "**bias-corrected** second moment, torch 1.1.0 maxes the **raw** moment",
+        "and bias-corrects with the current step's factor. After the VQ-VAE's",
+        "step-~250 embedding-loss spike (where the max is set while",
+        "1-b2^t ~ 0.2), optax's denominator stays ~2x larger, silently",
+        "annealing the effective LR — measured post-spike steps are 0.54x",
+        "torch's (tests/test_optim.py). The trainer now defaults to",
+        "`amsgrad_impl=\"torch\"` (vqvae_tpu/train/optim.py), an exact",
+        "reimplementation verified against torch.optim.Adam(amsgrad=True) to",
+        "5e-6 through a spike schedule; all jax seed curves in this report are",
+        "trained with it. (The optax variant remains available — it converges",
+        "measurably LOWER at 5k updates, a free improvement when reference",
+        "parity is not the goal.)",
+        "",
         "## Precision note",
         "",
         "TPU MXU convs at lax DEFAULT precision truncate fp32 operands to",
@@ -288,7 +407,11 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
     ]
     with open(md_out, "w") as f:
         f.write("\n".join(lines))
-    print(f"recon deviation {recon_dev:.4%} -> {'PARITY OK' if ok else 'PARITY FAIL'}")
+    print(
+        "verdicts: "
+        + ", ".join(f"{k}={m['verdict']}" for k, m in metrics.items())
+        + f" -> {'PARITY OK' if ok else 'PARITY FAIL'}"
+    )
     print(f"wrote {md_out}, {json_out}")
     return 0 if ok else 1
 

@@ -174,8 +174,21 @@ def nearest_code_pallas(
     k_codes = codebook.shape[0]
 
     auto_n, auto_k = _auto_tiles(n, d, k_codes)
-    tile_n = auto_n if tile_n is None else tile_n
-    tile_k = auto_k if tile_k is None else min(tile_k, _round_up(k_codes, 128))
+    if tile_n is None:
+        tile_n = auto_n
+    elif tile_n % 8 != 0 or tile_n <= 0:
+        # Mosaic sublane alignment; a misaligned override fails deep in
+        # lowering with an obscure layout error (ADVICE r2) — fail loudly here.
+        raise ValueError(f"tile_n override must be a positive multiple of 8, got {tile_n}")
+    if tile_k is None:
+        tile_k = auto_k
+    elif tile_k % 128 != 0 or tile_k <= 0:
+        # lane alignment: tile_k and the derived k_pad must be multiples of 128
+        raise ValueError(
+            f"tile_k override must be a positive multiple of 128, got {tile_k}"
+        )
+    else:
+        tile_k = min(tile_k, _round_up(k_codes, 128))
     n_pad = _round_up(max(n, tile_n), tile_n)
     k_pad = _round_up(k_codes, tile_k)
     n_k = k_pad // tile_k

@@ -83,6 +83,64 @@ def quantizer_flops_per_image(
     return pre + dist
 
 
+def conv_transpose_flops(in_h: int, in_w: int, c_in: int, c_out: int, kh: int, kw: int) -> int:
+    """Each input pixel scatters a kh*kw*c_out stencil (2 FLOPs per MAC)."""
+    return 2 * in_h * in_w * c_in * kh * kw * c_out
+
+
+def decoder_flops_per_image(
+    img_hw: int = 32,
+    out_channels: int = 3,
+    n_hiddens: int = 128,
+    n_residual_hiddens: int = 32,
+    n_residual_layers: int = 2,
+    embedding_dim: int = 64,
+) -> int:
+    """FLOPs of the reference decoder stack (models/decoder.py:22-36) per image."""
+    g = img_hw // 4  # latent grid side
+    half = n_hiddens // 2
+    total = conv_transpose_flops(g, g, embedding_dim, n_hiddens, 3, 3)   # k3 s1
+    res = conv_flops(g, g, n_hiddens, n_residual_hiddens, 3, 3)
+    res += conv_flops(g, g, n_residual_hiddens, n_hiddens, 1, 1)
+    total += n_residual_layers * res
+    total += conv_transpose_flops(g, g, n_hiddens, half, 4, 4)           # k4 s2
+    total += conv_transpose_flops(g * 2, g * 2, half, out_channels, 4, 4)  # k4 s2
+    return total
+
+
+def train_step_flops_per_image(**kw) -> int:
+    """Analytic fwd+bwd FLOPs per image of the full VQ-VAE training step.
+
+    Convs count 3x forward (output grad + input grad + weight grad are each
+    a same-size contraction); the quantizer distance matmul is forward-only
+    (its backward is a scatter-add, O(N*D) not O(N*K*D)); losses/optimizer
+    are O(params) noise.
+    """
+    enc_keys = {
+        k: kw[k]
+        for k in ("img_hw", "in_channels", "n_hiddens", "n_residual_hiddens", "n_residual_layers")
+        if k in kw
+    }
+    dec_keys = {
+        k: kw[k]
+        for k in (
+            "img_hw", "out_channels", "n_hiddens", "n_residual_hiddens",
+            "n_residual_layers", "embedding_dim",
+        )
+        if k in kw
+    }
+    q_keys = {
+        k: kw[k] for k in ("img_hw", "embedding_dim", "n_embeddings", "n_hiddens") if k in kw
+    }
+    conv_fwd = encoder_flops_per_image(**enc_keys) + decoder_flops_per_image(**dec_keys)
+    # pre-quant 1x1 conv is inside quantizer_flops; split it out for the 3x rule
+    q = quantizer_flops_per_image(**q_keys)
+    g = kw.get("img_hw", 32) // 4
+    pre = conv_flops(g, g, kw.get("n_hiddens", 128), kw.get("embedding_dim", 64), 1, 1)
+    dist = q - pre
+    return 3 * (conv_fwd + pre) + dist
+
+
 def encode_quantize_flops_per_image(**kw) -> int:
     enc_keys = {
         k: kw[k]
@@ -99,7 +157,10 @@ __all__ = [
     "ChipSpec",
     "chip_spec",
     "conv_flops",
+    "conv_transpose_flops",
     "encoder_flops_per_image",
+    "decoder_flops_per_image",
     "quantizer_flops_per_image",
     "encode_quantize_flops_per_image",
+    "train_step_flops_per_image",
 ]
