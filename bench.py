@@ -13,14 +13,19 @@ Methodology (validated on this environment — see .claude/skills/verify/SKILL.m
   the quantizer stays fp32 (code assignment keeps reference precision).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the baseline
-is the reference's own torch implementation executed on this machine's CPU
-(imported read-only from /root/reference when present; otherwise a recorded
-constant from this box). Prints exactly ONE JSON line.
+is the reference's own torch implementation on this machine's CPU, PINNED in
+`artifacts/torch_cpu_baseline.json` (measured once by tools/pin_torch_baseline.py
+with methodology recorded). A live measurement on a loaded 2-core host swung
+vs_baseline 1398 -> 849 between rounds on identical code (VERDICT r2 weak-item
+6); the pinned constant makes the ratio a property of the code, not of host
+load. Prints exactly ONE JSON line; the serving-precision point
+(quantizer_precision="default") rides along as `serving_*` fields.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,45 +37,30 @@ ITERS_HI = 120
 WARMUP = 2
 TIMED_REPEATS = 3
 
-# torch-CPU reference encode+quantize throughput measured on this host
-# (see _measure_torch_baseline); used when /root/reference is unavailable.
+BASELINE_PIN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts", "torch_cpu_baseline.json"
+)
+# Fallback when the pin artifact is missing (fresh checkout without artifacts):
+# torch-CPU reference encode+quantize throughput measured on this host.
 RECORDED_TORCH_CPU_IMAGES_PER_SEC = 330.0
 
 
-def _measure_torch_baseline() -> float:
-    """images/sec of the reference torch encode+quantize on CPU (read-only import)."""
+def _torch_baseline() -> float:
+    """Pinned torch-CPU reference throughput (tools/pin_torch_baseline.py)."""
     try:
-        sys.path.insert(0, "/root/reference")
-        import torch
-
-        from models.encoder import Encoder as TEncoder  # reference modules
-        from models.quantizer import VectorQuantizer as TQuantizer
-
-        enc = TEncoder(3, 128, 2, 32).eval()
-        pre = torch.nn.Conv2d(128, 64, 1)
-        quant = TQuantizer(512, 64, 0.25).eval()
-        x = torch.randn(64, 3, 32, 32)
-        with torch.no_grad():
-            for _ in range(2):
-                quant(pre(enc(x)))
-            n_iter = 5
-            t0 = time.perf_counter()
-            for _ in range(n_iter):
-                quant(pre(enc(x)))
-            dt = time.perf_counter() - t0
-        return 64 * n_iter / dt
+        with open(BASELINE_PIN) as f:
+            return float(json.load(f)["images_per_sec"])
     except Exception:
         return RECORDED_TORCH_CPU_IMAGES_PER_SEC
 
 
-def main() -> int:
+def _bench_config(cfg) -> float:
+    """images/sec/chip of jitted encode+quantize at the given VQVAEConfig."""
     import jax
     import jax.numpy as jnp
 
-    from vqvae_tpu.config import VQVAEConfig
     from vqvae_tpu.models.vqvae import VQVAE
 
-    cfg = VQVAEConfig(compute_dtype="bfloat16")
     model = VQVAE(cfg)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 32, 32, 3), jnp.float32)
@@ -113,10 +103,24 @@ def main() -> int:
     t_lo = timed(make_loop(ITERS_LO))
     t_hi = timed(make_loop(ITERS_HI))
     per_iter = (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
-    images_per_sec = BATCH / per_iter
-    per_chip = images_per_sec / jax.local_device_count()
+    return BATCH / per_iter / jax.local_device_count()
 
-    baseline = _measure_torch_baseline()
+
+def main() -> int:
+    import jax
+
+    from vqvae_tpu.config import VQVAEConfig
+
+    # Primary point: production inference config with reference-exact code
+    # assignment (fp32-HIGHEST distance matmul — bitwise argmin parity).
+    per_chip = _bench_config(VQVAEConfig(compute_dtype="bfloat16"))
+    # Serving point: quantizer distances on the MXU in single-pass bf16
+    # (near-tie code assignments may flip; fine for serving — see ROOFLINE.md).
+    serving_per_chip = _bench_config(
+        VQVAEConfig(compute_dtype="bfloat16", quantizer_precision="default")
+    )
+
+    baseline = _torch_baseline()
 
     # MFU: analytic encode+quantize FLOPs/image x achieved rate over the chip's
     # dense bf16 peak (the honest denominator — the torch-CPU vs_baseline ratio
@@ -126,11 +130,13 @@ def main() -> int:
 
     flops_per_image = encode_quantize_flops_per_image()
     spec = chip_spec(jax.devices()[0].device_kind)
-    mfu = (
-        round(per_chip * flops_per_image / spec.peak_bf16_flops, 4)
-        if spec is not None
-        else None
-    )
+
+    def mfu(rate):
+        return (
+            round(rate * flops_per_image / spec.peak_bf16_flops, 4)
+            if spec is not None
+            else None
+        )
 
     print(
         json.dumps(
@@ -139,7 +145,10 @@ def main() -> int:
                 "value": round(per_chip, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / baseline, 2),
-                "mfu": mfu,
+                "mfu": mfu(per_chip),
+                "serving_value": round(serving_per_chip, 1),
+                "serving_mfu": mfu(serving_per_chip),
+                "baseline_pinned": os.path.exists(BASELINE_PIN),
                 "flops_per_image": flops_per_image,
                 "chip": spec.name if spec is not None else jax.devices()[0].device_kind,
             }

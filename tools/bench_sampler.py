@@ -14,6 +14,8 @@ repeats, host-transfer fenced.
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 import time
 
@@ -28,7 +30,7 @@ from vqvae_tpu.models.pixelcnn import GatedPixelCNN
 from vqvae_tpu.models.pixelcnn_sampler import CachedPixelCNNSampler
 
 
-def main(batch_size: int, repeats: int = 6) -> None:
+def bench(batch_size: int, repeats: int = 6) -> dict:
     cfg = PixelCNNConfig()
     model = GatedPixelCNN(cfg)
     rng = jax.random.PRNGKey(0)
@@ -69,10 +71,31 @@ def main(batch_size: int, repeats: int = 6) -> None:
         / out["cached_incremental"]["ms_per_batch"]
     )
     print(f"cached speedup over reference-style naive: {speedup:.2f}x")
+    return {"batch_size": batch_size, "speedup": speedup, **out}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_sizes", type=int, nargs="*", default=[256, 1024, 4096])
+    ap.add_argument("--out", type=str, default=None,
+                    help="write results to this JSON artifact (e.g. artifacts/sampler.json)")
+    args = ap.parse_args()
+    rows = [bench(b) for b in args.batch_sizes]
+    if args.out:
+        payload = {
+            "metric": "8x8 grids/sec, cached incremental AR decode vs "
+                      "reference-style one-full-forward-per-pixel (both jitted)",
+            "reference_baseline": "/root/reference/pixelcnn/models.py:136-141",
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0].device_kind),
+            "rows": rows,
+        }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote {args.out}")
+    return 0
 
 
 if __name__ == "__main__":
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch_size", type=int, default=256)
-    args = ap.parse_args()
-    main(args.batch_size)
+    sys.exit(main())

@@ -388,6 +388,27 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         "measurably LOWER at 5k updates, a free improvement when reference",
         "parity is not the goal.)",
         "",
+    ]
+    # Distribution-level evidence for the AMSGrad root cause: round-2 curves
+    # trained with optax.amsgrad are preserved in artifacts/optax_r2/.
+    optax_dir = os.path.join(art_dir, "optax_r2")
+    if os.path.isdir(optax_dir):
+        _, optax_paths = _seed_runs(optax_dir)
+        if optax_paths:
+            o_loss = [_final_window(p, "loss_vals") for p in optax_paths]
+            t_loss = [_final_window(p, "loss_vals") for p in torch_paths]
+            j_loss = [_final_window(p, "loss_vals") for p in jax_paths]
+            lines += [
+                "Distribution evidence (final-window total loss, seed means):",
+                f"torch {np.mean(t_loss):.3f} / ours-with-torch-amsgrad "
+                f"{np.mean(j_loss):.3f} / ours-with-optax-amsgrad "
+                f"{np.mean(o_loss):.3f} ({len(optax_paths)} preserved round-2 "
+                "curves, `artifacts/optax_r2/`) — switching the optimizer "
+                "semantics moves the jax distribution onto torch's; the optax "
+                "variant's lower loss is the LR-anneal effect.",
+                "",
+            ]
+    lines += [
         "## Precision note",
         "",
         "TPU MXU convs at lax DEFAULT precision truncate fp32 operands to",
