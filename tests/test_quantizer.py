@@ -152,3 +152,23 @@ def test_pallas_tile_override_validation(rng):
     zq, idx = nearest_code_pallas(z, cb, interpret=True, tile_n=64, tile_k=128)
     zq_ref, idx_ref = nearest_code_jnp(z, cb)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+def test_auto_dispatch_rule():
+    """impl="auto" routes by the r3 measured sweep (artifacts/autotune.json):
+    Pallas only where it won on silicon — big-codebook bf16 (1.44x at
+    2048x8192x256) and unmaterializable score matrices — XLA everywhere else."""
+    from vqvae_tpu.ops.quantizer import _auto_impl
+
+    # off-TPU: always the jnp path (pallas would run in interpret mode)
+    assert _auto_impl(2048, 8192, 256, "default", on_tpu=False) == "jnp"
+    # default config: XLA won at every precision (16.6 vs 18.9 us fp32,
+    # 3.9 vs 6.1 us bf16)
+    assert _auto_impl(2048, 512, 64, "highest", on_tpu=True) == "jnp"
+    assert _auto_impl(2048, 512, 64, "default", on_tpu=True) == "jnp"
+    # stress fp32: statistical tie (291.8 vs 292.9 us) -> keep XLA
+    assert _auto_impl(2048, 8192, 256, "highest", on_tpu=True) == "jnp"
+    # stress bf16: Pallas won 1.44x (51.6 vs 74.4 us)
+    assert _auto_impl(2048, 8192, 256, "default", on_tpu=True) == "pallas"
+    # scores too big for the HBM budget: Pallas at any precision
+    assert _auto_impl(1 << 20, 1 << 20, 64, "highest", on_tpu=True) == "pallas"

@@ -28,10 +28,18 @@ import numpy as np
 from tools.bench_quantizer import CONFIGS
 
 
-def measure(op, n, k, d, iters_lo=50, iters_hi=300) -> float:
-    """Per-call seconds. High iteration counts: on this 2-core host the
-    dispatch/fence jitter is milliseconds, so the device work in the timed
-    window must dwarf it (300 calls x ~100 us = 30 ms >> jitter)."""
+def measure(op, n, k, d, iters_lo=50, iters_hi=300, repeats=9) -> float:
+    """Per-call seconds. Two defenses against the axon tunnel's noise floor:
+
+    1. Window size: dispatch/fence jitter is MILLISECONDS, so the device work
+       in the hi window must dwarf it (callers pass iters so that
+       iters_hi x per-call >= ~100 ms — see per-config defaults in main()).
+    2. min-of-9 INTERLEAVED lo/hi runs: the tunnel also has multi-hundred-ms
+       latency hiccups (r3 observed a 228 ms swing that survived min-of-3 and
+       produced a negative per-call time); with 9 alternating samples per
+       point the chance every lo draw is clean while every hi draw is hit
+       (or vice versa) is negligible, and interleaving decorrelates slow
+       host/tunnel drift from the lo-vs-hi difference."""
     z0 = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
     cb = jax.random.normal(jax.random.PRNGKey(1), (k, d), jnp.float32)
 
@@ -45,17 +53,20 @@ def measure(op, n, k, d, iters_lo=50, iters_hi=300) -> float:
         z, _ = jax.lax.scan(body, z, None, length=iters)
         return z
 
-    def elapsed(iters):
-        np.asarray(loop(z0, cb, iters))
+    def run_once(iters):
         t0 = time.perf_counter()
-        np.asarray(loop(z0, cb, iters))
+        np.asarray(loop(z0, cb, iters))  # host-transfer fence
         return time.perf_counter() - t0
 
-    # the first call inside elapsed() compiles + warms; no separate warm pass
-    # (tunnel compiles are minutes each — keep the compile count minimal)
-    lo = min(elapsed(iters_lo) for _ in range(3))
-    hi = min(elapsed(iters_hi) for _ in range(3))
-    return (hi - lo) / (iters_hi - iters_lo)
+    # first touch compiles + warms each loop variant (compiles are minutes
+    # through the tunnel — keep the compile count at exactly two)
+    run_once(iters_lo)
+    run_once(iters_hi)
+    los, his = [], []
+    for _ in range(repeats):
+        los.append(run_once(iters_lo))
+        his.append(run_once(iters_hi))
+    return (min(his) - min(los)) / (iters_hi - iters_lo)
 
 
 def main() -> int:
@@ -67,6 +78,10 @@ def main() -> int:
     ap.add_argument("--tile-ks", type=int, nargs="*", default=[512])
     ap.add_argument("--epilogues", type=str, nargs="*", default=["where"],
                     choices=["where", "argmin"])
+    ap.add_argument("--iters-lo", type=int, default=None,
+                    help="short-loop length for two-point timing; default "
+                         "scales with config so the timed window >= ~100 ms")
+    ap.add_argument("--iters-hi", type=int, default=None)
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--out", type=str, default=None,
                     help="append results as a JSON object keyed by "
@@ -74,8 +89,20 @@ def main() -> int:
     args = ap.parse_args()
 
     n, k, d = CONFIGS[args.config]
-    print(f"config {args.config}: N={n} K={k} D={d}, precision={args.precision}",
-          flush=True)
+    # Per-config timed-window sizes: the hi window must hold >=~100 ms of
+    # device work at the FASTEST plausible per-call time (bf16 near the
+    # compute bound) so the millisecond tunnel jitter cancels in the
+    # two-point difference.
+    default_iters = {
+        "default": (2000, 12000),      # calls ~7-40 us
+        "stress": (200, 1200),         # calls ~50-400 us
+        "big_batch": (200, 1200),      # calls ~30-300 us
+        "stress_big": (30, 180),       # calls ~1-4 ms
+    }[args.config]
+    iters_lo = args.iters_lo or default_iters[0]
+    iters_hi = args.iters_hi or default_iters[1]
+    print(f"config {args.config}: N={n} K={k} D={d}, precision={args.precision}, "
+          f"iters={iters_lo}/{iters_hi}", flush=True)
 
     from vqvae_tpu.ops.quantizer import nearest_code_jnp
     from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
@@ -83,7 +110,8 @@ def main() -> int:
     rows = []
     if not args.skip_xla:
         dt = measure(
-            functools.partial(nearest_code_jnp, precision=args.precision), n, k, d
+            functools.partial(nearest_code_jnp, precision=args.precision),
+            n, k, d, iters_lo, iters_hi,
         )
         print(f"xla: {dt*1e6:8.1f} us  ({2.0*n*k*d/dt/1e12:6.2f} eff TFLOP/s)",
               flush=True)
@@ -103,7 +131,7 @@ def main() -> int:
                     tile_n=tn, tile_k=tk, epilogue=ep,
                 )
                 try:
-                    dt = measure(op, n, k, d)
+                    dt = measure(op, n, k, d, iters_lo, iters_hi)
                 except Exception as e:
                     print(f"pallas tile_n={tn:5d} tile_k={tk:5d} {ep}: FAILED "
                           f"({type(e).__name__}: {str(e)[:120]})", flush=True)

@@ -28,8 +28,23 @@ CONFIGS = {
 }
 
 
-def run(impl: str, config: str, precision: str = "highest", iters_lo=10, iters_hi=60) -> dict:
+DEFAULT_ITERS = {
+    # Two-point timing only cancels jitter when the hi window holds >=~100 ms
+    # of device work at the fastest plausible per-call time; at micro-call
+    # configs the old 10/60 default measured tunnel noise (even negative).
+    "default": (2000, 12000),
+    "stress": (200, 1200),
+    "big_batch": (200, 1200),
+    "stress_big": (30, 180),
+}
+
+
+def run(impl: str, config: str, precision: str = "highest", iters_lo=None, iters_hi=None) -> dict:
     n, k, d = CONFIGS[config]
+    if iters_lo is None:
+        iters_lo = DEFAULT_ITERS[config][0]
+    if iters_hi is None:
+        iters_hi = DEFAULT_ITERS[config][1]
     if impl == "pallas":
         from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas as op
     else:
@@ -51,18 +66,21 @@ def run(impl: str, config: str, precision: str = "highest", iters_lo=10, iters_h
         z, _ = jax.lax.scan(body, z, None, length=iters)
         return z
 
-    def elapsed(iters):
-        out = loop(z0, cb, iters)
-        np.asarray(out)  # host fence
+    def run_once(iters):
         t0 = time.perf_counter()
-        out = loop(z0, cb, iters)
-        np.asarray(out)
+        np.asarray(loop(z0, cb, iters))  # host-transfer fence
         return time.perf_counter() - t0
 
-    elapsed(2)  # warm both iter counts' compiles
-    elapsed_lo = min(elapsed(iters_lo) for _ in range(3))
-    elapsed_hi = min(elapsed(iters_hi) for _ in range(3))
-    dt = (elapsed_hi - elapsed_lo) / (iters_hi - iters_lo)
+    # warm/compile both loop variants, then min-of-9 interleaved samples:
+    # the tunnel has multi-hundred-ms latency hiccups that survive min-of-3
+    # (see tools/autotune_quantizer.measure)
+    run_once(iters_lo)
+    run_once(iters_hi)
+    los, his = [], []
+    for _ in range(9):
+        los.append(run_once(iters_lo))
+        his.append(run_once(iters_hi))
+    dt = (min(his) - min(los)) / (iters_hi - iters_lo)
     flops = 2.0 * n * k * d  # distance matmul dominates
     return {
         "impl": impl,

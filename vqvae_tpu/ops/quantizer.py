@@ -90,14 +90,20 @@ def nearest_code(
     Returns (z_q (N, D), indices (N,) int32).
 
     impl selects the forward backend:
-    - "auto": XLA (one matmul + fused argmin + row gather) unless the (N, K)
-      score matrix would blow the HBM budget, then the Pallas streaming
-      kernel. Measured on this TPU (tools/bench_quantizer.py, interleaved
-      min-timing): XLA wins or ties at every BASELINE config — e.g. stress
-      (2048x8192x256) XLA 81 us vs Pallas 144 us at bf16, 303 vs 355 at fp32
-      — because XLA's matmul pipelining beats the hand-tiled kernel and HBM
-      absorbs the score traffic. The Pallas kernel's niche is very large N*K
-      where materializing scores is impossible.
+    - "auto": measured dispatch (tools/autotune_quantizer.py r3 sweep,
+      artifacts/autotune.json, interleaved min-of-9 timing on TPU v5e):
+        * big-codebook bf16 (precision="default", K*D >= 2^21): the tuned
+          Pallas streaming kernel WINS — stress (2048x8192x256) 51.6 us
+          (167 eff TFLOP/s, 84% of the bf16 compute bound) vs XLA 74.4 us,
+          a 1.44x speedup from keeping scores in VMEM + one codebook pass
+          (tile_n=2048 covers N).
+        * everywhere else XLA wins or ties: default config 16.6 vs 18.9 us
+          (fp32) / 3.9 vs 6.1 us (bf16) — at K=512, D=64 the kernel is
+          argmin-epilogue-bound, and XLA's fused matmul+argmin is better;
+          stress fp32 291.8 vs 292.9 us is a statistical tie (the 6-pass
+          matmul dominates either way), so XLA keeps it.
+        * scores too large for HBM: Pallas regardless of precision (the XLA
+          path would have to materialize the (N, K) score matrix).
     - "pallas": force the fused streaming kernel (scores never leave VMEM).
     - "jnp": force the XLA path.
     """
@@ -107,16 +113,32 @@ def nearest_code(
 # scores above this are never materialized: auto switches to the Pallas
 # streaming kernel (default config scores: 4 MB; stress: 64 MB; both fine)
 _SCORES_HBM_BUDGET_BYTES = 2 * 1024**3
+# Measured crossover (artifacts/autotune.json): at precision="default" the
+# Pallas kernel beats XLA 1.44x at K*D = 8192*256 = 2^21 and loses below
+# (K*D = 512*64); route to Pallas at >= the measured winning regime only.
+_PALLAS_BF16_MIN_KD = 2**21
+
+
+def _auto_impl(n: int, k: int, d: int, precision: str, on_tpu: bool) -> str:
+    """The measured-dispatch rule for impl="auto" (see nearest_code docstring)."""
+    if not on_tpu:
+        return "jnp"
+    scores_bytes = 4 * n * k
+    if scores_bytes > _SCORES_HBM_BUDGET_BYTES:
+        return "pallas"
+    if precision == "default" and k * d >= _PALLAS_BF16_MIN_KD:
+        return "pallas"
+    return "jnp"
 
 
 def _dispatch_forward(z_flat, codebook, precision, impl):
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        scores_bytes = 4 * z_flat.shape[0] * codebook.shape[0]
-        impl = (
-            "pallas"
-            if on_tpu and scores_bytes > _SCORES_HBM_BUDGET_BYTES
-            else "jnp"
+        impl = _auto_impl(
+            z_flat.shape[0],
+            codebook.shape[0],
+            codebook.shape[1],
+            precision,
+            jax.default_backend() == "tpu",
         )
     if impl == "pallas":
         from vqvae_tpu.ops.pallas_quantizer import nearest_code_pallas
