@@ -92,17 +92,21 @@ def worker(backend: str, n_devices: int) -> None:
         (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None, length=iters)
         return acc
 
-    def timed(iters):
-        np.asarray(loop(params, x, iters))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(loop(params, x, iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run_once(iters):
+        t0 = time.perf_counter()
+        np.asarray(loop(params, x, iters))  # host-transfer fence
+        return time.perf_counter() - t0
 
     lo, hi = CPU_ITERS if backend == "cpu" else TPU_ITERS
-    per_iter = (timed(hi) - timed(lo)) / (hi - lo)
+    # compile + warm both variants, then interleaved min-of-5: scheduler and
+    # tunnel hiccups survive sequential min-of-3 (tools/autotune_quantizer.py)
+    run_once(lo)
+    run_once(hi)
+    los, his = [], []
+    for _ in range(5):
+        los.append(run_once(lo))
+        his.append(run_once(hi))
+    per_iter = (min(his) - min(los)) / (hi - lo)
     print(
         json.dumps(
             {
@@ -180,6 +184,14 @@ def main() -> int:
     if args.tpu:
         tpu_row = launch_worker("tpu", 1)
         print(f"tpu 1 chip: {tpu_row['images_per_sec']:.0f} img/s", flush=True)
+    elif os.path.exists(args.out):
+        # CPU-only rerun: carry the previously measured real-chip row forward
+        # instead of silently nulling it (VERDICT r2 item 4).
+        try:
+            with open(args.out) as f:
+                tpu_row = json.load(f).get("tpu_1chip")
+        except Exception:
+            tpu_row = None
 
     payload = {
         "metric": "encode_quantize_images_per_sec (weak scaling, per-device batch "
