@@ -74,3 +74,22 @@ def test_resume_continues_from_saved_epoch(tmp_path):
         resumed["history"]["val_loss"], full["history"]["val_loss"],
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_steps_per_dispatch_equivalence():
+    """The scan/device-data path (steps_per_dispatch>1, on-device index
+    gathers) reproduces the per-step losses and val curve of the
+    reference-style one-dispatch-per-step loop."""
+    cfg, train_cfg = _cfgs(epochs=3)
+    train, val = _tiny_latents(seed=0), _tiny_latents(n=16, seed=1)
+
+    _, a = train_pixelcnn(cfg, train_cfg, train, val, verbose=False)
+    _, b = train_pixelcnn(
+        cfg, train_cfg.replace(steps_per_dispatch=4), train, val, verbose=False
+    )
+    np.testing.assert_allclose(
+        a["history"]["train_loss"], b["history"]["train_loss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        a["history"]["val_loss"], b["history"]["val_loss"], rtol=1e-5, atol=1e-6
+    )

@@ -170,5 +170,10 @@ def test_auto_dispatch_rule():
     assert _auto_impl(2048, 8192, 256, "highest", on_tpu=True) == "jnp"
     # stress bf16: Pallas won 1.44x (51.6 vs 74.4 us)
     assert _auto_impl(2048, 8192, 256, "default", on_tpu=True) == "pallas"
+    # big-N big-codebook bf16 (stress_big): the win was measured only where
+    # one row tile covers N (codebook streamed once); with N > 2048 the
+    # codebook re-streams and the kernel is unmeasured -> stay on XLA
+    # until the autotune sweep covers it (ADVICE r3)
+    assert _auto_impl(65536, 8192, 256, "default", on_tpu=True) == "jnp"
     # scores too big for the HBM budget: Pallas at any precision
     assert _auto_impl(1 << 20, 1 << 20, 64, "highest", on_tpu=True) == "pallas"

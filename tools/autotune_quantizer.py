@@ -62,11 +62,29 @@ def measure(op, n, k, d, iters_lo=50, iters_hi=300, repeats=9) -> float:
     # through the tunnel — keep the compile count at exactly two)
     run_once(iters_lo)
     run_once(iters_hi)
-    los, his = [], []
-    for _ in range(repeats):
-        los.append(run_once(iters_lo))
-        his.append(run_once(iters_hi))
-    return (min(his) - min(los)) / (iters_hi - iters_lo)
+    for attempt in range(3):
+        los, his = [], []
+        for _ in range(repeats):
+            los.append(run_once(iters_lo))
+            his.append(run_once(iters_hi))
+        dt = (min(his) - min(los)) / (iters_hi - iters_lo)
+        # Sanity: a tunnel hiccup landing on every hi sample can still make
+        # the two-point difference non-positive (the r3 failure mode). Never
+        # record a non-positive / sub-physical per-call time — retry, then
+        # fail loudly rather than writing fiction to the artifact.
+        if dt > 1e-8:  # 10 ns floor: far below any real kernel here
+            return dt
+        print(
+            f"  WARNING: non-physical per-call time {dt*1e6:.2f} us "
+            f"(min lo {min(los):.4f}s, min hi {min(his):.4f}s) — "
+            f"retry {attempt + 1}/3",
+            flush=True,
+        )
+    raise RuntimeError(
+        "measure() produced a non-positive per-call time in 3 attempts; "
+        "tunnel too noisy — enlarge iters_hi so the hi window holds more "
+        "device work"
+    )
 
 
 def main() -> int:
@@ -98,6 +116,9 @@ def main() -> int:
         "stress": (200, 1200),         # calls ~50-400 us
         "big_batch": (200, 1200),      # calls ~30-300 us
         "stress_big": (30, 180),       # calls ~1-4 ms
+        "mid17": (1500, 9000),         # calls ~5-20 us
+        "mid18": (800, 4800),          # calls ~10-40 us
+        "mid19": (500, 3000),          # calls ~20-80 us
     }[args.config]
     iters_lo = args.iters_lo or default_iters[0]
     iters_hi = args.iters_hi or default_iters[1]

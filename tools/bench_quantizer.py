@@ -25,6 +25,12 @@ CONFIGS = {
     "stress": (2048, 8192, 256),
     "big_batch": (65536, 512, 64),
     "stress_big": (65536, 8192, 256),
+    # mid-size codebooks pinning the Pallas/XLA crossover between the two
+    # r3-measured anchors K*D = 2^15 (loss) and 2^21 (1.44x win) —
+    # VERDICT r3 item 6
+    "mid17": (2048, 2048, 64),    # K*D = 2^17
+    "mid18": (2048, 2048, 128),   # K*D = 2^18
+    "mid19": (2048, 4096, 128),   # K*D = 2^19
 }
 
 
@@ -36,6 +42,9 @@ DEFAULT_ITERS = {
     "stress": (200, 1200),
     "big_batch": (200, 1200),
     "stress_big": (30, 180),
+    "mid17": (1500, 9000),
+    "mid18": (800, 4800),
+    "mid19": (500, 3000),
 }
 
 

@@ -186,10 +186,21 @@ def main() -> int:
         print(f"tpu 1 chip: {tpu_row['images_per_sec']:.0f} img/s", flush=True)
     elif os.path.exists(args.out):
         # CPU-only rerun: carry the previously measured real-chip row forward
-        # instead of silently nulling it (VERDICT r2 item 4).
+        # instead of silently nulling it (VERDICT r2 item 4) — but TAG it, so
+        # a stale chip number is distinguishable from a fresh measurement
+        # (ADVICE r3: after a perf regression, reruns must not keep
+        # republishing the old number as if re-measured).
         try:
             with open(args.out) as f:
                 tpu_row = json.load(f).get("tpu_1chip")
+            if tpu_row is not None and not tpu_row.get("carried_forward"):
+                tpu_row = dict(
+                    tpu_row,
+                    carried_forward=True,
+                    carried_from_mtime=time.strftime(
+                        "%Y-%m-%dT%H:%M:%S", time.localtime(os.path.getmtime(args.out))
+                    ),
+                )
         except Exception:
             tpu_row = None
 

@@ -10,7 +10,15 @@ Methodology (environment-validated, see .claude/skills/verify/SKILL.md):
 - the step has an inherent serial dependency (state feeds the next step), so
   a lax.scan over steps cannot be dead-code-eliminated;
 - two-point timing (K_hi - K_lo steps) cancels dispatch overhead;
-- host-transfer fence (np.asarray of a scalar metric), never block_until_ready.
+- host-transfer fence (np.asarray of a scalar metric), never block_until_ready;
+- data is generated ON DEVICE and passed through trainer.steps as a
+  device-resident jax.Array. ADVICE r3 (high): the r3 run generated data on
+  device but trainer.steps then pulled it host-side (np.asarray) and
+  re-uploaded it INSIDE the timed window — ~630 MB of tunnel traffic per hi
+  run at batch 256 timed as if it were step compute. trainer.steps now
+  passes jax.Arrays through without a host round-trip and this tool asserts
+  that (the r3 numbers in artifacts/train_bench.json rows tagged
+  "r3_contaminated" are superseded).
 
 Usage (TPU is single-tenant — run alone):
     python -u tools/bench_train.py --out artifacts/train_bench.json
@@ -28,12 +36,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-STEPS_LO = 20
-STEPS_HI = 120
 REPEATS = 9
 
 
-def bench_batch(batch_size: int) -> dict:
+def _windows(batch_size: int):
+    """Two-point step counts per batch size: the hi window must hold >=100 ms
+    of device work, but at batch 1024 a window of 120 steps would push a
+    single timed run past tunnel-safe durations (the r3 batch-1024 attempt
+    was killed by a harness timeout mid-run)."""
+    if batch_size >= 1024:
+        return 5, 35
+    if batch_size >= 256:
+        return 10, 60
+    return 20, 120
+
+
+def bench_batch(batch_size: int, spd: int | None = None) -> dict:
+    """Measure ms/step at ``batch_size``.
+
+    spd=None: one lax.scan dispatch covers the whole timed window — the pure
+    device cost of the step with host overhead fully amortized.
+    spd=k: the timed window issues ceil(K/k) separate trainer.steps dispatches
+    of k steps each, fencing once at the end — exactly how the training loop
+    runs with TrainConfig.steps_per_dispatch=k (metrics are only pulled at
+    the log cadence), so this measures what the scan-dispatch path actually
+    buys against per-step dispatch (VERDICT r3 item 5).
+    """
     import jax
 
     from vqvae_tpu.config import TrainConfig, VQVAEConfig
@@ -41,24 +69,31 @@ def bench_batch(batch_size: int) -> dict:
 
     import jax.numpy as jnp
 
+    steps_lo, steps_hi = _windows(batch_size)
     vq_cfg = VQVAEConfig()  # reference training config: fp32, highest precision
-    train_cfg = TrainConfig(batch_size=batch_size, steps_per_dispatch=STEPS_HI)
+    train_cfg = TrainConfig(batch_size=batch_size, steps_per_dispatch=steps_hi)
     trainer = VQVAETrainer(vq_cfg, train_cfg, x_train_var=1.0)
     state = trainer.init_state()
 
-    # Data is generated ON DEVICE: shipping (K, B, 32, 32, 3) host arrays
-    # through the axon tunnel per timed run (377 MB at batch 256) measured
-    # transfer bandwidth, not the train step — the r3 first run produced a
-    # NEGATIVE ms/step at batch 256 and 862 ms/step at batch 1024 that way.
+    # Data generated and kept ON DEVICE (see module docstring / ADVICE r3).
     data = jax.jit(
         lambda key: jax.random.normal(
-            key, (STEPS_HI, batch_size, 32, 32, 3), jnp.float32
-        )
+            key, (steps_hi, batch_size, 32, 32, 3), jnp.float32
+        ),
+        out_shardings=trainer._multi_shard,
     )(jax.random.PRNGKey(0))
+    assert isinstance(data, jax.Array)
     np.asarray(data[0, 0, 0, 0, :1])  # materialize before timing
 
     def run(state, k_steps):
-        new_state, metrics = trainer.steps(state, data[:k_steps])
+        if spd is None:
+            new_state, metrics = trainer.steps(state, data[:k_steps])
+        else:
+            for start in range(0, k_steps, spd):
+                new_state, metrics = trainer.steps(
+                    state, data[start : min(start + spd, k_steps)]
+                )
+                state = new_state
         # fence on a host transfer of a scalar metric
         np.asarray(metrics["loss"])
         return new_state
@@ -72,13 +107,18 @@ def bench_batch(batch_size: int) -> dict:
     # compile + warm both step counts, then interleaved min-of-REPEATS —
     # the tunnel has multi-hundred-ms latency hiccups that survive min-of-3
     # (see tools/autotune_quantizer.measure)
-    run_timed(STEPS_LO)
-    run_timed(STEPS_HI)
+    run_timed(steps_lo)
+    run_timed(steps_hi)
     los, his = [], []
     for _ in range(REPEATS):
-        los.append(run_timed(STEPS_LO))
-        his.append(run_timed(STEPS_HI))
-    per_step = (min(his) - min(los)) / (STEPS_HI - STEPS_LO)
+        los.append(run_timed(steps_lo))
+        his.append(run_timed(steps_hi))
+    per_step = (min(his) - min(los)) / (steps_hi - steps_lo)
+    if per_step <= 0:
+        raise RuntimeError(
+            f"non-physical per-step time {per_step*1e3:.3f} ms at batch "
+            f"{batch_size} — tunnel too noisy; enlarge the hi window"
+        )
     images_per_sec = batch_size / per_step
     per_chip = images_per_sec / jax.local_device_count()
 
@@ -88,40 +128,48 @@ def bench_batch(batch_size: int) -> dict:
     spec = chip_spec(jax.devices()[0].device_kind)
     return {
         "batch_size": batch_size,
+        "steps_per_dispatch": spd if spd is not None else "window",
         "step_ms": per_step * 1e3,
         "images_per_sec_per_chip": per_chip,
         "train_flops_per_image": flops,
         "train_mfu": (per_chip * flops / spec.peak_bf16_flops) if spec else None,
         "chip": spec.name if spec else str(jax.devices()[0].device_kind),
         "backend": jax.default_backend(),
+        "windows": [steps_lo, steps_hi],
         "note": (
             "reference training config (fp32 params, conv_precision=highest "
             "— fp32-exact 6-pass MXU, so the bf16-peak MFU denominator "
-            "understates utilization ~3x in the fp32 passes); batch 32 is "
-            "the reference default, larger batches show the chip's ceiling"
+            "understates utilization ~3x in the fp32 passes); data device-"
+            "resident, passed through as jax.Array (no host transfer in the "
+            "timed path)"
         ),
     }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    # batch 1024 dropped from the default sweep: at ~0.4 s/step its timed
-    # windows push the tool past practical tunnel timeouts, and 32 vs 256
-    # already spans reference-default -> throughput-oriented regimes.
-    ap.add_argument("--batches", type=int, nargs="*", default=[32, 256])
+    ap.add_argument("--batches", type=int, nargs="*", default=[32, 256, 1024])
+    ap.add_argument(
+        "--spd-batch", type=int, default=32,
+        help="batch size for the steps_per_dispatch sweep",
+    )
+    ap.add_argument(
+        "--spds", type=int, nargs="*", default=[1, 10, 50],
+        help="steps_per_dispatch values to measure (empty list to skip)",
+    )
     ap.add_argument("--out", type=str, default="artifacts/train_bench.json")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     rows = []
-    for b in args.batches:
-        r = bench_batch(b)
+
+    def emit(r):
         rows.append(r)
+        mfu = f"{r['train_mfu']:.4f}" if r["train_mfu"] is not None else "n/a"
         print(
-            f"batch {b:5d}: {r['step_ms']:.3f} ms/step, "
-            f"{r['images_per_sec_per_chip']:.0f} img/s/chip, "
-            f"train MFU {r['train_mfu']:.4f}" if r["train_mfu"] is not None
-            else f"batch {b}: {r['step_ms']:.3f} ms/step",
+            f"batch {r['batch_size']:5d} spd {r['steps_per_dispatch']!s:>6}: "
+            f"{r['step_ms']:.3f} ms/step, "
+            f"{r['images_per_sec_per_chip']:.0f} img/s/chip, train MFU {mfu}",
             flush=True,
         )
         # write after EVERY row — a killed run must not lose measured rows
@@ -132,6 +180,11 @@ def main() -> int:
         }
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
+
+    for b in args.batches:
+        emit(bench_batch(b))
+    for spd in args.spds:
+        emit(bench_batch(args.spd_batch, spd=spd))
     print(f"wrote {args.out}", flush=True)
     return 0
 

@@ -178,6 +178,7 @@ def cmd_train_prior(args) -> int:
         results_dir=args.results_dir,
         seed=args.seed,
         gen_samples=args.gen_samples,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     save_path = f"{args.results_dir}/latent_block_pixelcnn.npz"
     train_pixelcnn(
@@ -225,6 +226,13 @@ def cmd_sample(args) -> int:
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     np.savez(out, images=images, codes=codes, labels=labels)
     print(f"Saved {images.shape[0]} samples to {out}")
+    if args.png:
+        from vqvae_tpu.pipelines.viz import save_image_grid
+
+        # one row per class when n_samples is a multiple of 10 (the
+        # reference's 10x10 class grid, gated_pixelcnn.py:143-149)
+        n_cols = 10 if args.n_samples % 10 == 0 else 8
+        print(f"Wrote {save_image_grid(images, args.png, n_cols=n_cols)}")
     return 0
 
 
@@ -375,6 +383,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(reference gated_pixelcnn.py:143-149)")
     tp.add_argument("--resume", action="store_true",
                     help="resume from the saved prior checkpoint")
+    tp.add_argument("--steps_per_dispatch", type=int, default=1,
+                    help="updates per device dispatch (lax.scan over batches "
+                         "gathered on-device from the staged latent grids); "
+                         "1 = reference-style one-dispatch-per-step")
     tp.set_defaults(fn=cmd_train_prior)
 
     sm = sub.add_parser("sample", help="AR sample codes -> decode images")
@@ -385,6 +397,8 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("--prior-checkpoint", type=str, required=True)
     sm.add_argument("--n_samples", type=int, default=100)
     sm.add_argument("--out", type=str, default=None)
+    sm.add_argument("--png", type=str, default=None,
+                    help="also render the samples as one PNG grid")
     sm.set_defaults(fn=cmd_sample)
 
     bm = sub.add_parser("benchmark", help="run bench.py")

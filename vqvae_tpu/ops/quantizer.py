@@ -9,9 +9,12 @@ Reproduces the math of the reference ``VectorQuantizer.forward``
   op ``nearest_code`` with a ``custom_vjp`` whose backward matches torch
   autodiff through ``one_hot @ codebook``: grad w.r.t. the codebook is a
   scatter-add of the cotangent over assigned rows; grad w.r.t. z is zero
-  (argmin/one-hot are non-differentiable). On TPU it dispatches to the fused
-  Pallas kernel (ops/pallas_quantizer.py); elsewhere (and for testing) it uses
-  the pure-jnp path, which XLA fuses well on its own.
+  (argmin/one-hot are non-differentiable). The forward dispatches by the
+  measured rule in ``_auto_impl``: the fused Pallas streaming kernel
+  (ops/pallas_quantizer.py) only where it measured faster on silicon —
+  big-codebook bf16 runs the kernel can cover in one codebook pass — or when
+  the (N, K) score matrix is too large to materialize in HBM; everywhere
+  else (including most TPU regimes) the pure-jnp path, which XLA fuses well.
 - Loss terms, the straight-through estimator, and perplexity mirror the
   reference exactly:
     loss = mean((sg[z_q] - z)^2) + beta * mean((z_q - sg[z])^2)
@@ -117,6 +120,11 @@ _SCORES_HBM_BUDGET_BYTES = 2 * 1024**3
 # Pallas kernel beats XLA 1.44x at K*D = 8192*256 = 2^21 and loses below
 # (K*D = 512*64); route to Pallas at >= the measured winning regime only.
 _PALLAS_BF16_MIN_KD = 2**21
+# The 1.44x win was measured where one row tile covers all N rows (tile_n=2048
+# streams the codebook exactly once). For larger N the codebook re-streams
+# N/2048 times and the kernel is unmeasured (ADVICE r3) — keep those on XLA
+# until the autotune sweep covers them (stress_big config).
+_PALLAS_BF16_MAX_N = 2048
 
 
 def _auto_impl(n: int, k: int, d: int, precision: str, on_tpu: bool) -> str:
@@ -126,7 +134,11 @@ def _auto_impl(n: int, k: int, d: int, precision: str, on_tpu: bool) -> str:
     scores_bytes = 4 * n * k
     if scores_bytes > _SCORES_HBM_BUDGET_BYTES:
         return "pallas"
-    if precision == "default" and k * d >= _PALLAS_BF16_MIN_KD:
+    if (
+        precision == "default"
+        and k * d >= _PALLAS_BF16_MIN_KD
+        and n <= _PALLAS_BF16_MAX_N
+    ):
         return "pallas"
     return "jnp"
 

@@ -69,6 +69,35 @@ class PixelCNNTrainer:
             in_shardings=(self._rep, self._batch_shard, self._batch_shard),
             out_shardings=self._rep,
         )
+        # multi-step scan paths (mirror VQVAETrainer): stacked (K, B, ...)
+        # batches, batch dim sharded over the data axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._multi_shard = NamedSharding(self.mesh, P(None, mesh_cfg.data_axis))
+        self._train_steps = jax.jit(
+            self._steps_impl,
+            in_shardings=(self._rep, self._multi_shard, self._multi_shard),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        # device-resident dataset: the latent grids are tiny (50k 8x8 int32
+        # grids = 12.8 MB) — stage once, gather each scan step on device from
+        # uploaded (K, B) index arrays
+        self._train_steps_idx = jax.jit(
+            self._steps_from_indices_impl,
+            in_shardings=(self._rep, self._rep, self._rep, self._multi_shard),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,),
+        )
+        self._eval_many = jax.jit(
+            self._eval_many_impl,
+            in_shardings=(self._rep, self._rep, self._rep, self._multi_shard),
+            out_shardings=self._rep,
+        )
+        self._device_data = None
+        self._device_labels = None
+        self._device_val = None
+        self._device_val_labels = None
 
     def init_state(self, rng: Optional[jax.Array] = None) -> PixelCNNState:
         if rng is None:
@@ -100,6 +129,92 @@ class PixelCNNTrainer:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return PixelCNNState(params, opt_state, state.step + 1), loss
+
+    def _steps_impl(self, state: PixelCNNState, xs, labels):
+        """K sequential updates in one dispatch (lax.scan over stacked
+        batches) — same update order as K ``_step_impl`` calls; returns the
+        per-step losses stacked (K,)."""
+
+        def body(s, xl):
+            return self._step_impl(s, *xl)
+
+        return jax.lax.scan(body, state, (xs, labels))
+
+    def _steps_from_indices_impl(self, state, data, data_labels, idx):
+        """K updates gathering batches on-device from the staged grids.
+
+        data: (N, H, W) int32 replicated; data_labels: (N,); idx: (K, B)."""
+
+        def body(s, ii):
+            return self._step_impl(
+                s, jnp.take(data, ii, axis=0), jnp.take(data_labels, ii, axis=0)
+            )
+
+        return jax.lax.scan(body, state, idx)
+
+    def _eval_many_impl(self, state, data, data_labels, idx):
+        """Mean loss over K on-device-gathered validation batches in one
+        dispatch (the reference's per-batch eval loop collapsed to a scan)."""
+
+        def body(_, ii):
+            return None, self._loss_impl(
+                state, jnp.take(data, ii, axis=0), jnp.take(data_labels, ii, axis=0)
+            )
+
+        _, losses = jax.lax.scan(body, None, idx)
+        return losses
+
+    def stage_dataset(self, train_ds: ArrayDataset, val_ds: ArrayDataset) -> None:
+        """Place the (tiny) latent grids + labels in device HBM once."""
+        from vqvae_tpu.parallel.mesh import put_global
+
+        self._device_data = put_global(
+            np.asarray(train_ds.data, np.int32), self._rep
+        )
+        self._device_labels = put_global(
+            np.asarray(train_ds.labels, np.int32), self._rep
+        )
+        self._device_val = put_global(np.asarray(val_ds.data, np.int32), self._rep)
+        self._device_val_labels = put_global(
+            np.asarray(val_ds.labels, np.int32), self._rep
+        )
+
+    def _put_idx(self, idx_np):
+        arr = np.asarray(idx_np, np.int32)
+        if jax.process_count() == 1:
+            return jax.device_put(arr, self._multi_shard)
+        return jax.make_array_from_process_local_data(self._multi_shard, arr)
+
+    def steps_by_index(self, state, idx_np):
+        """K updates from (K, B) sampler indices; requires stage_dataset."""
+        if self._device_data is None:
+            raise RuntimeError("call stage_dataset() before steps_by_index()")
+        return self._train_steps_idx(
+            state, self._device_data, self._device_labels, self._put_idx(idx_np)
+        )
+
+    def eval_by_index(self, state, idx_np):
+        """(K,) per-batch validation losses from (K, B) indices, one dispatch."""
+        if self._device_data is None:
+            raise RuntimeError("call stage_dataset() before eval_by_index()")
+        return self._eval_many(
+            state, self._device_val, self._device_val_labels, self._put_idx(idx_np)
+        )
+
+    def steps(self, state, xs, labels):
+        """K stacked updates in one dispatch; device-resident jax.Arrays pass
+        through without a host round-trip (see VQVAETrainer.steps)."""
+        if not isinstance(xs, jax.Array):
+            xs = np.asarray(xs, np.int32)
+            labels = np.asarray(labels, np.int32)
+            if jax.process_count() > 1:
+                xs = jax.make_array_from_process_local_data(self._multi_shard, xs)
+                labels = jax.make_array_from_process_local_data(
+                    self._multi_shard, labels
+                )
+        xs = jax.device_put(xs, self._multi_shard)
+        labels = jax.device_put(labels, self._multi_shard)
+        return self._train_steps(state, xs, labels)
 
     def step(self, state, x_np, label_np):
         x = shard_batch(np.asarray(x_np, np.int32), self.mesh, self.mesh_cfg.data_axis)
@@ -212,29 +327,63 @@ def train_pixelcnn(
 
     ckpt_writer = AsyncCheckpointer()
     epoch_samples = []
+    # steps_per_dispatch > 1: stage the (tiny) grids in HBM once and run
+    # scan-chunks of updates gathered on device from uploaded index arrays —
+    # amortizes the fixed per-dispatch host overhead exactly like the VQ-VAE
+    # loop's device-data path (chunks still end on log-interval boundaries so
+    # the print cadence matches the per-step loop).
+    spd = max(1, train_cfg.steps_per_dispatch)
+    if spd > 1:
+        trainer.stage_dataset(train_ds, val_ds)
     for epoch in range(start_epoch, train_cfg.epochs):
         if verbose:
             print(f"\nEpoch {epoch}:", flush=True)
         epoch_losses = []
         t0 = time.time()
-        for bi, idx in enumerate(train_sampler.epoch()):
-            x = train_ds.data[idx]
-            labels = train_ds.labels[idx]
-            state, loss = trainer.step(state, x, labels)
-            epoch_losses.append(loss)
-            if verbose and (bi + 1) % train_cfg.log_interval == 0:
-                window = [float(v) for v in epoch_losses[-train_cfg.log_interval:]]
-                print(
-                    f"\tIter [{bi + 1}] Loss: {np.mean(window):.6f} "
-                    f"Time: {time.time() - t0:.2f}",
-                    flush=True,
+        if spd == 1:
+            for bi, idx in enumerate(train_sampler.epoch()):
+                x = train_ds.data[idx]
+                labels = train_ds.labels[idx]
+                state, loss = trainer.step(state, x, labels)
+                epoch_losses.append(loss)
+                if verbose and (bi + 1) % train_cfg.log_interval == 0:
+                    window = [float(v) for v in epoch_losses[-train_cfg.log_interval:]]
+                    print(
+                        f"\tIter [{bi + 1}] Loss: {np.mean(window):.6f} "
+                        f"Time: {time.time() - t0:.2f}",
+                        flush=True,
+                    )
+        else:
+            epoch_idx = list(train_sampler.epoch())
+            li = train_cfg.log_interval
+            bi = 0
+            while bi < len(epoch_idx):
+                # chunks end ON the (bi+1) % li == 0 print boundaries
+                k = min(spd, len(epoch_idx) - bi, li - bi % li)
+                state, losses = trainer.steps_by_index(
+                    state, np.stack(epoch_idx[bi : bi + k])
                 )
+                epoch_losses.extend(np.asarray(losses).tolist())
+                bi += k
+                if verbose and bi % li == 0:
+                    window = epoch_losses[-li:]
+                    print(
+                        f"\tIter [{bi}] Loss: {np.mean(window):.6f} "
+                        f"Time: {time.time() - t0:.2f}",
+                        flush=True,
+                    )
         history["train_loss"].append(float(np.mean([float(v) for v in epoch_losses])))
 
-        val_losses = [
-            float(trainer.eval_loss(state, val_ds.data[idx], val_ds.labels[idx]))
-            for idx in val_sampler.epoch()
-        ]
+        val_idx = list(val_sampler.epoch())
+        if spd > 1 and val_idx:
+            val_losses = np.asarray(
+                trainer.eval_by_index(state, np.stack(val_idx))
+            ).tolist()
+        else:
+            val_losses = [
+                float(trainer.eval_loss(state, val_ds.data[idx], val_ds.labels[idx]))
+                for idx in val_idx
+            ]
         cur = float(np.mean(val_losses)) if val_losses else float("inf")
         history["val_loss"].append(cur)
         if verbose:

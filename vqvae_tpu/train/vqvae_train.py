@@ -285,14 +285,24 @@ class VQVAETrainer:
 
         batches_np: (K, B_local, H, W, C). Returns (state, metrics) where each
         metric is a (K,) array of per-step values.
+
+        Inputs that are already device-resident ``jax.Array``s pass through
+        without a host round-trip (device_put on a committed array with the
+        target sharding is a no-op / device-side reshard) — pulling them to
+        host with np.asarray and re-uploading would put two full dataset
+        transfers on the link (ADVICE r3: at batch 256 that is ~630 MB per
+        bench run timed as if it were step compute).
         """
         import numpy as _np
 
-        arr = _np.asarray(batches_np)
-        if jax.process_count() == 1:
-            xs = jax.device_put(arr, self._multi_shard)
+        if isinstance(batches_np, jax.Array):
+            xs = jax.device_put(batches_np, self._multi_shard)
+        elif jax.process_count() == 1:
+            xs = jax.device_put(_np.asarray(batches_np), self._multi_shard)
         else:
-            xs = jax.make_array_from_process_local_data(self._multi_shard, arr)
+            xs = jax.make_array_from_process_local_data(
+                self._multi_shard, _np.asarray(batches_np)
+            )
         return self._train_steps(state, xs)
 
     def stage_dataset(self, data_np) -> None:

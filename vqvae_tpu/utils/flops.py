@@ -141,6 +141,35 @@ def train_step_flops_per_image(**kw) -> int:
     return 3 * (conv_fwd + pre) + dist
 
 
+def pixelcnn_flops_per_grid(
+    img_dim: int = 8,
+    dim: int = 64,
+    n_layers: int = 15,
+    input_dim: int = 512,
+) -> int:
+    """Forward FLOPs of the GatedPixelCNN prior per (img_dim, img_dim) code
+    grid (reference pixelcnn/models.py:88-127: 15 gated layers — layer 0
+    kernel 7, rest kernel 3 — each with vert (k//2+1, k), horiz (1, k//2+1),
+    vert_to_horiz 1x1 and residual 1x1 convs, then the 1x1 output head)."""
+    total = 0
+    for i in range(n_layers):
+        k = 7 if i == 0 else 3
+        total += conv_flops(img_dim, img_dim, dim, 2 * dim, k // 2 + 1, k)  # vert
+        total += conv_flops(img_dim, img_dim, 2 * dim, 2 * dim, 1, 1)       # v2h
+        total += conv_flops(img_dim, img_dim, dim, 2 * dim, 1, k // 2 + 1)  # horiz
+        total += conv_flops(img_dim, img_dim, dim, dim, 1, 1)               # resid
+    total += conv_flops(img_dim, img_dim, dim, 512, 1, 1)                   # head
+    total += conv_flops(img_dim, img_dim, 512, input_dim, 1, 1)
+    return total
+
+
+def pixelcnn_train_step_flops_per_grid(**kw) -> int:
+    """fwd+bwd+Adam FLOPs per grid: convs count 3x forward (same 3-pass rule
+    as train_step_flops_per_image); CE/softmax and the optimizer are
+    O(B*H*W*K) / O(params) noise against the conv stack."""
+    return 3 * pixelcnn_flops_per_grid(**kw)
+
+
 def encode_quantize_flops_per_image(**kw) -> int:
     enc_keys = {
         k: kw[k]
@@ -163,4 +192,6 @@ __all__ = [
     "quantizer_flops_per_image",
     "encode_quantize_flops_per_image",
     "train_step_flops_per_image",
+    "pixelcnn_flops_per_grid",
+    "pixelcnn_train_step_flops_per_grid",
 ]
