@@ -51,7 +51,12 @@ def _windows(batch_size: int):
     return 20, 120
 
 
-def bench_batch(batch_size: int, spd: int | None = None) -> dict:
+def bench_batch(
+    batch_size: int,
+    spd: int | None = None,
+    conv_precision: str = "highest",
+    compute_dtype: str = "float32",
+) -> dict:
     """Measure ms/step at ``batch_size``.
 
     spd=None: one lax.scan dispatch covers the whole timed window — the pure
@@ -70,7 +75,15 @@ def bench_batch(batch_size: int, spd: int | None = None) -> dict:
     import jax.numpy as jnp
 
     steps_lo, steps_hi = _windows(batch_size)
-    vq_cfg = VQVAEConfig()  # reference training config: fp32, highest precision
+    # defaults = reference training config (fp32, highest precision); the
+    # precision knobs measure the documented speed/parity tradeoff modes
+    vq_cfg = VQVAEConfig(
+        conv_precision=conv_precision,
+        compute_dtype=compute_dtype,
+        quantizer_precision=(
+            "highest" if compute_dtype == "float32" else "default"
+        ),
+    )
     train_cfg = TrainConfig(batch_size=batch_size, steps_per_dispatch=steps_hi)
     trainer = VQVAETrainer(vq_cfg, train_cfg, x_train_var=1.0)
     state = trainer.init_state()
@@ -129,6 +142,8 @@ def bench_batch(batch_size: int, spd: int | None = None) -> dict:
     return {
         "batch_size": batch_size,
         "steps_per_dispatch": spd if spd is not None else "window",
+        "conv_precision": conv_precision,
+        "compute_dtype": compute_dtype,
         "step_ms": per_step * 1e3,
         "images_per_sec_per_chip": per_chip,
         "train_flops_per_image": flops,
@@ -157,11 +172,23 @@ def main() -> int:
         "--spds", type=int, nargs="*", default=[1, 10, 50],
         help="steps_per_dispatch values to measure (empty list to skip)",
     )
+    ap.add_argument("--conv_precision", type=str, default="highest",
+                    choices=["highest", "high", "default"])
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--append", action="store_true",
+                    help="append rows to an existing artifact instead of "
+                         "starting a fresh row list")
     ap.add_argument("--out", type=str, default="artifacts/train_bench.json")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     rows = []
+    existing = {}
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+        rows = existing.get("rows", [])
 
     def emit(r):
         rows.append(r)
@@ -174,6 +201,7 @@ def main() -> int:
         )
         # write after EVERY row — a killed run must not lose measured rows
         payload = {
+            **existing,
             "metric": "vqvae_train_step_images_per_sec_per_chip (fwd+bwd+Adam)",
             "reference_workload": "/root/reference/main.py:67-98",
             "rows": rows,
@@ -181,10 +209,11 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
 
+    kw = dict(conv_precision=args.conv_precision, compute_dtype=args.compute_dtype)
     for b in args.batches:
-        emit(bench_batch(b))
+        emit(bench_batch(b, **kw))
     for spd in args.spds:
-        emit(bench_batch(args.spd_batch, spd=spd))
+        emit(bench_batch(args.spd_batch, spd=spd, **kw))
     print(f"wrote {args.out}", flush=True)
     return 0
 
