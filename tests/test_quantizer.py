@@ -168,12 +168,17 @@ def test_auto_dispatch_rule():
     assert _auto_impl(2048, 512, 64, "default", on_tpu=True) == "jnp"
     # stress fp32: statistical tie (291.8 vs 292.9 us) -> keep XLA
     assert _auto_impl(2048, 8192, 256, "highest", on_tpu=True) == "jnp"
+    # r4 mid-size sweep pinning the bf16 crossover between the r3 anchors:
+    # XLA wins/ties at K*D = 2^17 (15.8 vs 16.6 us) and 2^18 (16.3 vs 16.7)
+    assert _auto_impl(2048, 2048, 64, "default", on_tpu=True) == "jnp"
+    assert _auto_impl(2048, 2048, 128, "default", on_tpu=True) == "jnp"
+    # Pallas wins from K*D = 2^19 (24.5 vs 27.3 us, 1.11x)
+    assert _auto_impl(2048, 4096, 128, "default", on_tpu=True) == "pallas"
     # stress bf16: Pallas won 1.44x (51.6 vs 74.4 us)
     assert _auto_impl(2048, 8192, 256, "default", on_tpu=True) == "pallas"
-    # big-N big-codebook bf16 (stress_big): the win was measured only where
-    # one row tile covers N (codebook streamed once); with N > 2048 the
-    # codebook re-streams and the kernel is unmeasured -> stay on XLA
-    # until the autotune sweep covers it (ADVICE r3)
+    # big-N big-codebook bf16 (stress_big): with N > 2048 the codebook
+    # re-streams N/2048 times and the kernel LOSES (measured r4: XLA 1213 us
+    # vs Pallas 4703 us) -> XLA (the ADVICE r3 gate, measurement-backed)
     assert _auto_impl(65536, 8192, 256, "default", on_tpu=True) == "jnp"
     # scores too big for the HBM budget: Pallas at any precision
     assert _auto_impl(1 << 20, 1 << 20, 64, "highest", on_tpu=True) == "pallas"

@@ -93,18 +93,20 @@ def nearest_code(
     Returns (z_q (N, D), indices (N,) int32).
 
     impl selects the forward backend:
-    - "auto": measured dispatch (tools/autotune_quantizer.py r3 sweep,
+    - "auto": measured dispatch (tools/autotune_quantizer.py r3+r4 sweeps,
       artifacts/autotune.json, interleaved min-of-9 timing on TPU v5e):
-        * big-codebook bf16 (precision="default", K*D >= 2^21): the tuned
-          Pallas streaming kernel WINS — stress (2048x8192x256) 51.6 us
-          (167 eff TFLOP/s, 84% of the bf16 compute bound) vs XLA 74.4 us,
-          a 1.44x speedup from keeping scores in VMEM + one codebook pass
-          (tile_n=2048 covers N).
+        * big-codebook bf16 (precision="default", K*D >= 2^19, N <= 2048 so
+          one row tile covers N): the tuned Pallas streaming kernel WINS —
+          mid19 (2048x4096x128) 24.5 vs 27.3 us (1.11x), stress
+          (2048x8192x256) 51.6 us (167 eff TFLOP/s, 84% of the bf16 compute
+          bound) vs XLA 74.4 us (1.44x) — scores stay in VMEM and the
+          codebook streams exactly once.
         * everywhere else XLA wins or ties: default config 16.6 vs 18.9 us
-          (fp32) / 3.9 vs 6.1 us (bf16) — at K=512, D=64 the kernel is
-          argmin-epilogue-bound, and XLA's fused matmul+argmin is better;
-          stress fp32 291.8 vs 292.9 us is a statistical tie (the 6-pass
-          matmul dominates either way), so XLA keeps it.
+          (fp32) / 3.9 vs 6.1 us (bf16); mid17/mid18 bf16 within noise of
+          each other; stress fp32 291.8 vs 292.9 us is a statistical tie
+          (the 6-pass matmul dominates either way); big-N configs where the
+          codebook would re-stream lose outright (stress_big bf16: XLA
+          1213 us vs Pallas 4703 us) — XLA keeps all of these.
         * scores too large for HBM: Pallas regardless of precision (the XLA
           path would have to materialize the (N, K) score matrix).
     - "pallas": force the fused streaming kernel (scores never leave VMEM).
@@ -116,14 +118,16 @@ def nearest_code(
 # scores above this are never materialized: auto switches to the Pallas
 # streaming kernel (default config scores: 4 MB; stress: 64 MB; both fine)
 _SCORES_HBM_BUDGET_BYTES = 2 * 1024**3
-# Measured crossover (artifacts/autotune.json): at precision="default" the
-# Pallas kernel beats XLA 1.44x at K*D = 8192*256 = 2^21 and loses below
-# (K*D = 512*64); route to Pallas at >= the measured winning regime only.
-_PALLAS_BF16_MIN_KD = 2**21
-# The 1.44x win was measured where one row tile covers all N rows (tile_n=2048
+# Measured crossover (artifacts/autotune.json, r4 mid-size sweep at N=2048,
+# precision="default"): XLA wins/ties through K*D = 2^18 (mid18 2048x128:
+# 16.3 vs 16.7 us), Pallas wins from 2^19 up (mid19 4096x128: 24.5 vs
+# 27.3 us, 1.11x; stress 8192x256 = 2^21: 51.6 vs 74.4 us, 1.44x). Route to
+# Pallas at >= the measured crossover.
+_PALLAS_BF16_MIN_KD = 2**19
+# The wins are measured where one row tile covers all N rows (tile_n=2048
 # streams the codebook exactly once). For larger N the codebook re-streams
-# N/2048 times and the kernel is unmeasured (ADVICE r3) — keep those on XLA
-# until the autotune sweep covers them (stress_big config).
+# N/2048 times and LOSES — measured at stress_big (65536x8192x256 bf16):
+# XLA 1213 us vs Pallas 4703 us (the ADVICE r3 gate, now measurement-backed).
 _PALLAS_BF16_MAX_N = 2048
 
 
