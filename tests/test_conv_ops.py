@@ -62,3 +62,21 @@ def test_conv_transpose2d_matches_torch(rng, cin, cout, k, s, p):
 
     assert ours.shape == ref.shape  # torch output-size arithmetic
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv4s2_space_to_depth_rewrite_is_exact():
+    """The serving-path space-to-depth lowering of (k=4, s=2, p=1) convs
+    (tools/bench_conv_strategy.py, VERDICT r3 item 8) computes the same MACs
+    as conv2d stride-2 — identical results up to fp reassociation."""
+    import numpy as np
+    from tools.bench_conv_strategy import conv4s2_space_to_depth
+    from vqvae_tpu.ops.conv import conv2d
+
+    rng = np.random.default_rng(7)
+    for c, f, hw in [(3, 16, 8), (16, 32, 8)]:
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(4, 4, c, f)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+        ref = conv2d(x, w, b, stride=2, padding=1, precision="highest")
+        alt = conv4s2_space_to_depth(x, w, b, precision="highest")
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref), rtol=2e-5, atol=2e-5)
