@@ -274,3 +274,28 @@ def test_steps_by_index_matches_steps(trainer8):
         jax.tree_util.tree_leaves(s_a.params), jax.tree_util.tree_leaves(s_b.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_bfloat16_training_mode_runs():
+    """The serving-style fast-training recipe (compute_dtype=bfloat16 +
+    bf16 distances — the measured 4.1x mode, ROOFLINE §4) trains: steps
+    execute, losses stay finite, params move."""
+    from vqvae_tpu.config import TrainConfig, VQVAEConfig
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+    vq_cfg = VQVAEConfig(
+        compute_dtype="bfloat16",
+        conv_precision="default",
+        quantizer_precision="default",
+    )
+    trainer = VQVAETrainer(vq_cfg, TrainConfig(batch_size=8), x_train_var=1.0)
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 8, 32, 32, 3)).astype(np.float32)
+    p0 = np.asarray(state.params["codebook"]).copy()
+    state, metrics = trainer.steps(state, x)
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (3,) and np.isfinite(losses).all()
+    # params are still fp32 master copies and they moved
+    assert np.asarray(state.params["codebook"]).dtype == np.float32
+    assert not np.array_equal(p0, np.asarray(state.params["codebook"]))
