@@ -62,29 +62,9 @@ def measure(op, n, k, d, iters_lo=50, iters_hi=300, repeats=9) -> float:
     # through the tunnel — keep the compile count at exactly two)
     run_once(iters_lo)
     run_once(iters_hi)
-    for attempt in range(3):
-        los, his = [], []
-        for _ in range(repeats):
-            los.append(run_once(iters_lo))
-            his.append(run_once(iters_hi))
-        dt = (min(his) - min(los)) / (iters_hi - iters_lo)
-        # Sanity: a tunnel hiccup landing on every hi sample can still make
-        # the two-point difference non-positive (the r3 failure mode). Never
-        # record a non-positive / sub-physical per-call time — retry, then
-        # fail loudly rather than writing fiction to the artifact.
-        if dt > 1e-8:  # 10 ns floor: far below any real kernel here
-            return dt
-        print(
-            f"  WARNING: non-physical per-call time {dt*1e6:.2f} us "
-            f"(min lo {min(los):.4f}s, min hi {min(his):.4f}s) — "
-            f"retry {attempt + 1}/3",
-            flush=True,
-        )
-    raise RuntimeError(
-        "measure() produced a non-positive per-call time in 3 attempts; "
-        "tunnel too noisy — enlarge iters_hi so the hi window holds more "
-        "device work"
-    )
+    from tools.timing import interleaved_two_point
+
+    return interleaved_two_point(run_once, iters_lo, iters_hi, repeats)
 
 
 def main() -> int:

@@ -108,14 +108,9 @@ def _measure(fn, x0, iters_lo, iters_hi, repeats=9):
 
     once(iters_lo)
     once(iters_hi)
-    los, his = [], []
-    for _ in range(repeats):
-        los.append(once(iters_lo))
-        his.append(once(iters_hi))
-    dt = (min(his) - min(los)) / (iters_hi - iters_lo)
-    if dt <= 0:
-        raise RuntimeError("non-physical time; enlarge windows")
-    return dt
+    from tools.timing import interleaved_two_point
+
+    return interleaved_two_point(once, iters_lo, iters_hi, repeats)
 
 
 def bench(batch=256, dtype="bfloat16", iters_lo=100, iters_hi=600):

@@ -71,16 +71,9 @@ def bench_batch(batch_size: int) -> dict:
 
     run_timed(steps_lo)
     run_timed(steps_hi)
-    los, his = [], []
-    for _ in range(REPEATS):
-        los.append(run_timed(steps_lo))
-        his.append(run_timed(steps_hi))
-    per_step = (min(his) - min(los)) / (steps_hi - steps_lo)
-    if per_step <= 0:
-        raise RuntimeError(
-            f"non-physical per-step time {per_step*1e3:.3f} ms at batch "
-            f"{batch_size} — tunnel too noisy; enlarge the hi window"
-        )
+    from tools.timing import interleaved_two_point
+
+    per_step = interleaved_two_point(run_timed, steps_lo, steps_hi, REPEATS)
     grids_per_sec = batch_size / per_step
     per_chip = grids_per_sec / jax.local_device_count()
 
@@ -125,11 +118,14 @@ def main() -> int:
     )
     for b in args.batches:
         r = bench_batch(b)
-        rows.append(r)
+        # re-measuring a batch size REPLACES its row — reruns must not
+        # accumulate conflicting duplicates in the artifact of record
+        rows[:] = [x for x in rows if x.get("batch_size") != b] + [r]
+        mfu = f"{r['train_mfu']:.4f}" if r["train_mfu"] is not None else "n/a"
         print(
             f"prior batch {b:5d}: {r['step_ms']:.3f} ms/step, "
             f"{r['grids_per_sec_per_chip']:.0f} grids/s/chip, "
-            f"train MFU {r['train_mfu']:.4f}",
+            f"train MFU {mfu}",
             flush=True,
         )
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -122,16 +122,9 @@ def bench_batch(
     # (see tools/autotune_quantizer.measure)
     run_timed(steps_lo)
     run_timed(steps_hi)
-    los, his = [], []
-    for _ in range(REPEATS):
-        los.append(run_timed(steps_lo))
-        his.append(run_timed(steps_hi))
-    per_step = (min(his) - min(los)) / (steps_hi - steps_lo)
-    if per_step <= 0:
-        raise RuntimeError(
-            f"non-physical per-step time {per_step*1e3:.3f} ms at batch "
-            f"{batch_size} — tunnel too noisy; enlarge the hi window"
-        )
+    from tools.timing import interleaved_two_point
+
+    per_step = interleaved_two_point(run_timed, steps_lo, steps_hi, REPEATS)
     images_per_sec = batch_size / per_step
     per_chip = images_per_sec / jax.local_device_count()
 
@@ -177,18 +170,22 @@ def main() -> int:
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--append", action="store_true",
-                    help="append rows to an existing artifact instead of "
-                         "starting a fresh row list")
+                    help="extend the existing rows list instead of replacing "
+                         "it (other artifact keys — prior_rows, provenance, "
+                         "r3_contaminated_rows — are preserved either way)")
     ap.add_argument("--out", type=str, default="artifacts/train_bench.json")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    rows = []
+    # ALWAYS load the existing artifact: this file is shared with
+    # bench_prior.py (prior_rows) and carries provenance keys the committed
+    # docs cite — a fresh run must replace only its own "rows" list, never
+    # destroy the rest of the file.
     existing = {}
-    if args.append and os.path.exists(args.out):
+    if os.path.exists(args.out):
         with open(args.out) as f:
             existing = json.load(f)
-        rows = existing.get("rows", [])
+    rows = existing.get("rows", []) if args.append else []
 
     def emit(r):
         rows.append(r)

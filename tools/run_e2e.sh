@@ -3,7 +3,9 @@
 #   train-vqvae 5k -> extract-latents -> train-prior (reference defaults:
 #   15 layers, 100 epochs, dim 64) -> sample a 10x10 class-conditioned grid.
 # Artifacts land in artifacts/e2e_r4/. TPU is single-tenant: run alone.
-set -e
+# pipefail: every stage is piped through tee — without it a crashed stage
+# exits 0 via tee and later stages run on stale artifacts
+set -e -o pipefail
 cd /root/repo
 OUT=artifacts/e2e_r4
 mkdir -p "$OUT"

@@ -229,8 +229,9 @@ def cmd_sample(args) -> int:
     if args.png:
         from vqvae_tpu.pipelines.viz import save_image_grid
 
-        # one row per class when n_samples is a multiple of 10 (the
-        # reference's 10x10 class grid, gated_pixelcnn.py:143-149)
+        # labels cycle 0..9, so with 10 columns class c fills COLUMN c (the
+        # transpose of the reference's row-per-class 10x10 grid,
+        # gated_pixelcnn.py:143-149 — same 10-per-class content)
         n_cols = 10 if args.n_samples % 10 == 0 else 8
         print(f"Wrote {save_image_grid(images, args.png, n_cols=n_cols)}")
     return 0
