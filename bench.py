@@ -138,22 +138,46 @@ def main() -> int:
             else None
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "cifar10_encode_quantize_images_per_sec_per_chip",
-                "value": round(per_chip, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / baseline, 2),
-                "mfu": mfu(per_chip),
-                "serving_value": round(serving_per_chip, 1),
-                "serving_mfu": mfu(serving_per_chip),
-                "baseline_pinned": os.path.exists(BASELINE_PIN),
-                "flops_per_image": flops_per_image,
-                "chip": spec.name if spec is not None else jax.devices()[0].device_kind,
-            }
-        )
-    )
+    out = {
+        "metric": "cifar10_encode_quantize_images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / baseline, 2),
+        "mfu": mfu(per_chip),
+        "serving_value": round(serving_per_chip, 1),
+        "serving_mfu": mfu(serving_per_chip),
+        "baseline_pinned": os.path.exists(BASELINE_PIN),
+        "flops_per_image": flops_per_image,
+        "chip": spec.name if spec is not None else jax.devices()[0].device_kind,
+    }
+    # Ride-along: the committed full-training-step numbers (fwd+bwd+Adam,
+    # tools/bench_train.py — NOT re-measured here, quoted from the artifact
+    # of record so the driver's BENCH snapshot carries the training story).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts", "train_bench.json")
+        ) as f:
+            rows = json.load(f)["rows"]
+        ref = [
+            r for r in rows
+            if r["batch_size"] == 256 and r.get("steps_per_dispatch") == "window"
+            and r.get("conv_precision", "highest") == "highest"
+        ]
+        fast = [r for r in rows if r.get("compute_dtype") == "bfloat16"]
+        if ref:
+            out["train_images_per_sec_per_chip_b256"] = round(
+                ref[-1]["images_per_sec_per_chip"], 1
+            )
+            out["train_mfu_b256"] = round(ref[-1]["train_mfu"], 4)
+        if fast:
+            out["train_bf16_images_per_sec_per_chip_b256"] = round(
+                fast[-1]["images_per_sec_per_chip"], 1
+            )
+        out["train_source"] = "artifacts/train_bench.json (committed measurement)"
+    except Exception:
+        pass
+    print(json.dumps(out))
     return 0
 
 
