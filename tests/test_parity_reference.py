@@ -68,7 +68,7 @@ def test_identical_init_loss_curves_track_reference(tmp_path):
         loss = torch.mean((x_hat - x) ** 2) / x_train_var + emb_loss
         loss.backward()
         topt.step()
-        t_loss.append(float(loss))
+        t_loss.append(float(loss.detach()))
 
     j_loss = []
     for idx in batches:

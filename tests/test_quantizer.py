@@ -51,8 +51,10 @@ def test_quantize_forward_parity_vs_torch(rng):
     np.testing.assert_allclose(
         np.asarray(out.z_q), zq_t.detach().numpy(), rtol=1e-5, atol=1e-5
     )
-    np.testing.assert_allclose(float(out.loss), float(loss_t), rtol=1e-5)
-    np.testing.assert_allclose(float(out.perplexity), float(perp_t), rtol=1e-5)
+    np.testing.assert_allclose(float(out.loss), float(loss_t.detach()), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out.perplexity), float(perp_t.detach()), rtol=1e-5
+    )
 
 
 def test_quantize_gradients_match_torch(rng):

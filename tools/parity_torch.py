@@ -45,13 +45,15 @@ def copy_params_to_torch(params, torch_model, n_res_layers: int):
     """Copy our JAX init into the reference torch VQVAE (HWIO -> OIHW etc.)."""
 
     def t_conv(w):  # (kh,kw,in,out) -> (out,in,kh,kw)
-        return torch.from_numpy(np.asarray(w).transpose(3, 2, 0, 1)).clone()
+        # .copy(): jax arrays view as non-writable numpy; torch warns on
+        # from_numpy of a read-only buffer
+        return torch.from_numpy(np.asarray(w).transpose(3, 2, 0, 1).copy())
 
     def t_convT(w):  # (kh,kw,in,out) -> (in,out,kh,kw)
-        return torch.from_numpy(np.asarray(w).transpose(2, 3, 0, 1)).clone()
+        return torch.from_numpy(np.asarray(w).transpose(2, 3, 0, 1).copy())
 
     def t_vec(b):
-        return torch.from_numpy(np.asarray(b)).clone()
+        return torch.from_numpy(np.asarray(b).copy())
 
     sd = {}
     enc = params["encoder"]

@@ -36,7 +36,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vqvae_tpu.ops.quantizer import QuantizeOutput
@@ -153,7 +153,7 @@ def nearest_code_sharded(
         mesh=mesh,
         in_specs=(P(data_axis, None), P(code_axis, None)),
         out_specs=(P(data_axis, None), P(data_axis)),
-        check_rep=False,  # custom_vjp inside shard_map needs the rep checker off
+        check_vma=False,  # custom_vjp inside shard_map needs the vma checker off
     )
     return fn(z_flat, codebook)
 
