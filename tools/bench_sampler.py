@@ -30,7 +30,13 @@ from vqvae_tpu.models.pixelcnn import GatedPixelCNN
 from vqvae_tpu.models.pixelcnn_sampler import CachedPixelCNNSampler
 
 
-def bench(batch_size: int, repeats: int = 6) -> dict:
+def bench(batch_size: int, side: int = 8, repeats: int = 6,
+          include_band: bool = False) -> dict:
+    """One row at (batch_size, side x side grids). ``include_band`` adds the
+    depth-limited band row refresh (models/pixelcnn_sampler.py, VERDICT r4
+    item 5) as a third scheme — its vertical work is O(1) per row in H
+    instead of O(H), so it pulls ahead of the whole-grid refresh once
+    H > L + k0//2 + 1 (18 rows for the 15-layer reference stack)."""
     cfg = PixelCNNConfig()
     model = GatedPixelCNN(cfg)
     rng = jax.random.PRNGKey(0)
@@ -41,19 +47,24 @@ def bench(batch_size: int, repeats: int = 6) -> dict:
 
     naive = jax.jit(
         lambda p, l, k: model.apply(
-            {"params": p}, l, k, (cfg.img_dim, cfg.img_dim), batch_size,
+            {"params": p}, l, k, (side, side), batch_size,
             method=model.generate,
         )
     )
-    sampler = CachedPixelCNNSampler(cfg, params)
-    cached = jax.jit(
-        lambda p, l, k: CachedPixelCNNSampler(cfg, p).generate(
-            l, k, (cfg.img_dim, cfg.img_dim), batch_size
-        )
-    )
+    schemes = [("naive_full_forward", naive)]
+    refreshes = ["full", "band"] if include_band else ["full"]
+    for mode in refreshes:
+        schemes.append((
+            f"cached_incremental_{mode}" if include_band else "cached_incremental",
+            jax.jit(
+                lambda p, l, k, m=mode: CachedPixelCNNSampler(
+                    cfg, p, row_refresh=m
+                ).generate(l, k, (side, side), batch_size)
+            ),
+        ))
 
     out = {}
-    for name, fn in [("naive_full_forward", naive), ("cached_incremental", cached)]:
+    for name, fn in schemes:
         key = jax.random.PRNGKey(1)
         np.asarray(fn(params, labels, key))  # compile + warm
         best = float("inf")
@@ -65,26 +76,30 @@ def bench(batch_size: int, repeats: int = 6) -> dict:
             "grids_per_sec": batch_size / best,
             "ms_per_batch": best * 1e3,
         }
-        print(name, out[name])
-    speedup = (
-        out["naive_full_forward"]["ms_per_batch"]
-        / out["cached_incremental"]["ms_per_batch"]
+        print(f"{side}x{side}", name, out[name])
+    cached_best = min(
+        v["ms_per_batch"] for k, v in out.items() if k.startswith("cached")
     )
+    speedup = out["naive_full_forward"]["ms_per_batch"] / cached_best
     print(f"cached speedup over reference-style naive: {speedup:.2f}x")
-    return {"batch_size": batch_size, "speedup": speedup, **out}
+    return {"batch_size": batch_size, "side": side, "speedup": speedup, **out}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_sizes", type=int, nargs="*", default=[256, 1024, 4096])
+    ap.add_argument("--side", type=int, default=8, help="grid side (H=W)")
+    ap.add_argument("--band", action="store_true",
+                    help="also bench the band-limited row refresh")
     ap.add_argument("--out", type=str, default=None,
                     help="write results to this JSON artifact (e.g. artifacts/sampler.json)")
     args = ap.parse_args()
-    rows = [bench(b) for b in args.batch_sizes]
+    rows = [bench(b, side=args.side, include_band=args.band) for b in args.batch_sizes]
     if args.out:
         payload = {
-            "metric": "8x8 grids/sec, cached incremental AR decode vs "
-                      "reference-style one-full-forward-per-pixel (both jitted)",
+            "metric": f"{args.side}x{args.side} grids/sec, cached incremental "
+                      "AR decode vs reference-style one-full-forward-per-pixel "
+                      "(both jitted)",
             "reference_baseline": "/root/reference/pixelcnn/models.py:136-141",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0].device_kind),

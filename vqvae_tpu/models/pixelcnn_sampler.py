@@ -49,16 +49,49 @@ def _gate(x):
 
 
 class CachedPixelCNNSampler:
-    """Incremental decoder bound to a GatedPixelCNN's params."""
+    """Incremental decoder bound to a GatedPixelCNN's params.
 
-    def __init__(self, cfg: PixelCNNConfig, params):
+    ``row_refresh`` selects the vertical-stack refresh strategy:
+      - "full": recompute every layer's vertical conv over the whole grid
+        each row — O(H^2 * W * L) vertical work, optimal for small grids.
+      - "band": depth-limited band recompute — only the rows a new row can
+        see through the stack (layer l's row i depends on a band of
+        sum-of-reaches prior rows), bounding vertical work by
+        O(H * W * L * min(H + pad, L*k//2 + 4)) — asymptotically constant
+        per row in H.
+      - "auto" (default): "band" when the band is smaller than the grid
+        (H > L + k0//2, i.e. 18 rows for the 15-layer reference config),
+        else "full". Both produce identical logits (tests assert exact
+        equality at H=16 and H=32).
+    """
+
+    def __init__(self, cfg: PixelCNNConfig, params, row_refresh: str = "auto"):
         self.cfg = cfg
         self.params = params
+        if row_refresh not in ("auto", "full", "band"):
+            raise ValueError(f"row_refresh={row_refresh!r}")
+        self.row_refresh = row_refresh
         # Match the model's conv/matmul precision so cached logits stay
         # bit-exact against the full forward on TPU (the logit-parity oracle).
         from vqvae_tpu.ops.conv import _PRECISIONS
 
         self._prec = _PRECISIONS[cfg.conv_precision]
+        # Vertical receptive-field geometry for the band refresh: layer l's
+        # row i needs rows [i - suffix[l], i] of its own hv output, where
+        # suffix[l] = sum of the row-reaches (k//2) of layers ABOVE l that
+        # consume it; the layer-0 input band then spans
+        # [i - suffix[0] - k0//2, i] rows of the embedding grid.
+        reaches = [_layer_static(cfg, l)[1] // 2 for l in range(cfg.n_layers)]
+        suffix = [0] * cfg.n_layers
+        for l in range(cfg.n_layers - 2, -1, -1):
+            suffix[l] = suffix[l + 1] + reaches[l + 1]
+        self._reaches, self._suffix = reaches, suffix
+        self._band_pad = suffix[0] + reaches[0]
+
+    def _use_band(self, hgt: int) -> bool:
+        if self.row_refresh == "auto":
+            return hgt > self._band_pad + 1
+        return self.row_refresh == "band"
 
     # -- per-layer pieces ---------------------------------------------------
 
@@ -122,6 +155,54 @@ class CachedPixelCNNSampler:
             )[:, None, None, :]
             x_v = _gate(hv + h_cls)
         return hv_all  # list of (B, H, W, 2d)
+
+    def _row_refresh_band(self, emb_grid, label, i):
+        """Vertical features at row ``i`` only, via depth-limited bands.
+
+        The whole-grid refresh recomputes rows that row ``i`` cannot see.
+        Row i of layer l's vertical output depends on rows
+        [i - suffix[l], i] of that output (through the layers above), which
+        depend on rows [i - suffix[l] - k_l//2, i] of the layer's input.
+        So each layer runs a VALID-height conv over a shrinking band:
+        layer 0 consumes ``band_pad + 1`` embedding rows ending at row i
+        (zero-padded above the grid top, matching the full conv's zero
+        padding) and each conv trims its own reach off the top. Exact-logit
+        equality with :meth:`_row_refresh` is asserted by
+        tests/test_pixelcnn_sampler.py at H=16 and H=32.
+        """
+        from vqvae_tpu.ops.conv import conv2d
+
+        cfg = self.cfg
+        # Rows above the grid top are zeros — identical to the full conv's
+        # zero padding, so one static pad + dynamic slice serves every i.
+        padded = jnp.pad(
+            emb_grid, ((0, 0), (self._band_pad, 0), (0, 0), (0, 0))
+        )
+        # absolute rows [i - band_pad, i] == padded rows [i, i + band_pad]
+        x_v = jax.lax.dynamic_slice_in_dim(padded, i, self._band_pad + 1, axis=1)
+        hv_rows = []
+        for l in range(cfg.n_layers):
+            _, k, _ = _layer_static(cfg, l)
+            w, b = self._masked_vert_kernel(l)
+            # VALID in height (the band IS the receptive field), SAME in
+            # width: output band spans absolute rows [i - suffix[l], i].
+            hv = conv2d(
+                x_v, w, b, stride=1, padding=(0, k // 2),
+                precision=self.cfg.conv_precision,
+            )
+            hv_rows.append(hv[:, -1])  # absolute row i -> (B, W, 2d)
+            h_cls = jnp.take(
+                self._layer_params(l)["class_cond_embedding"], label, axis=0
+            )[:, None, None, :]
+            x_v = _gate(hv + h_cls)
+            # Band rows above the grid top must be ZERO — the full conv
+            # zero-pads each layer's input, whereas gate(bias + cls) of a
+            # zero row is nonzero. Band position t is absolute row
+            # i - (n-1) + t; mask t < n-1-i.
+            n = x_v.shape[1]
+            valid = (i - (n - 1) + jnp.arange(n)) >= 0
+            x_v = jnp.where(valid[None, :, None, None], x_v, 0.0)
+        return hv_rows
 
     # -- per-pixel horizontal step ------------------------------------------
 
@@ -202,10 +283,15 @@ class CachedPixelCNNSampler:
         else:
             force = jnp.zeros((batch_size, hgt, wid), jnp.int32)
 
+        use_band = self._use_band(hgt)
+
         def row_step(carry, i):
             x, emb_grid, key = carry
-            hv_all = self._row_refresh(emb_grid, label)
-            hv_rows = [hv[:, i] for hv in hv_all]  # (B, W, 2d) each
+            if use_band:
+                hv_rows = self._row_refresh_band(emb_grid, label, i)
+            else:
+                hv_all = self._row_refresh(emb_grid, label)
+                hv_rows = [hv[:, i] for hv in hv_all]  # (B, W, 2d) each
 
             def col_step(ccarry, j):
                 x, emb_grid, col_bufs, key = ccarry
