@@ -174,12 +174,15 @@ def load_block(root: str = "data") -> Tuple[ArrayDataset, ArrayDataset, float, D
     utils.py:28-46)."""
     path = os.path.join(root, _BLOCK_FILE)
     raw = np.load(path, allow_pickle=True)
-    frames = np.stack(
-        [np.asarray(x[0][0])[:, :, :3].astype(np.float32) for x in raw]
-    )
-    # one batched separable-matmul resize (cv2.INTER_CUBIC-exact, a=-0.75)
-    # instead of a python cv2 loop per frame
-    resized = _resize_cubic(frames, (32, 32))
+    frames = [np.asarray(x[0][0])[:, :, :3].astype(np.float32) for x in raw]
+    if len({f.shape for f in frames}) == 1:
+        # one batched separable-matmul resize (cv2.INTER_CUBIC-exact, a=-0.75)
+        # instead of a python cv2 loop per frame
+        resized = _resize_cubic(np.stack(frames), (32, 32))
+    else:
+        # ragged frame sizes (the reference resizes per frame, so its format
+        # permits them): resize each frame, then stack the uniform outputs
+        resized = np.stack([_resize_cubic(f, (32, 32)) for f in frames])
     data = np.clip(resized, 0, 255).astype(np.uint8)
     cutoff = len(data) // 10
     train_u8, val_u8 = data[:-cutoff], data[-cutoff:]
