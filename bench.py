@@ -164,7 +164,13 @@ def main() -> int:
             if r["batch_size"] == 256 and r.get("steps_per_dispatch") == "window"
             and r.get("conv_precision", "highest") == "highest"
         ]
-        fast = [r for r in rows if r.get("compute_dtype") == "bfloat16"]
+        # Same row filter as `ref` (ADVICE r4): a future --append run at
+        # another batch/spd must not be silently quoted under the b256 key.
+        fast = [
+            r for r in rows
+            if r.get("compute_dtype") == "bfloat16"
+            and r["batch_size"] == 256 and r.get("steps_per_dispatch") == "window"
+        ]
         if ref:
             out["train_images_per_sec_per_chip_b256"] = round(
                 ref[-1]["images_per_sec_per_chip"], 1

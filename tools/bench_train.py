@@ -56,6 +56,7 @@ def bench_batch(
     spd: int | None = None,
     conv_precision: str = "highest",
     compute_dtype: str = "float32",
+    ema: bool = False,
 ) -> dict:
     """Measure ms/step at ``batch_size``.
 
@@ -83,6 +84,7 @@ def bench_batch(
         quantizer_precision=(
             "highest" if compute_dtype == "float32" else "default"
         ),
+        ema_codebook=ema,
     )
     train_cfg = TrainConfig(batch_size=batch_size, steps_per_dispatch=steps_hi)
     trainer = VQVAETrainer(vq_cfg, train_cfg, x_train_var=1.0)
@@ -137,6 +139,7 @@ def bench_batch(
         "steps_per_dispatch": spd if spd is not None else "window",
         "conv_precision": conv_precision,
         "compute_dtype": compute_dtype,
+        "ema_codebook": ema,
         "step_ms": per_step * 1e3,
         "images_per_sec_per_chip": per_chip,
         "train_flops_per_image": flops,
@@ -169,6 +172,8 @@ def main() -> int:
                     choices=["highest", "high", "default"])
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--ema", action="store_true",
+                    help="EMA codebook updates instead of Adam codebook grads")
     ap.add_argument("--append", action="store_true",
                     help="extend the existing rows list instead of replacing "
                          "it (other artifact keys — prior_rows, provenance, "
@@ -206,7 +211,8 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
 
-    kw = dict(conv_precision=args.conv_precision, compute_dtype=args.compute_dtype)
+    kw = dict(conv_precision=args.conv_precision,
+              compute_dtype=args.compute_dtype, ema=args.ema)
     for b in args.batches:
         emit(bench_batch(b, **kw))
     for spd in args.spds:

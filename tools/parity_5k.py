@@ -39,14 +39,29 @@ import numpy as np
 WINDOW = 100  # final-window size for the convergence comparison
 
 
-def run_jax(steps: int, out: str, batch_size: int, seed: int) -> None:
+def run_jax(
+    steps: int,
+    out: str,
+    batch_size: int,
+    seed: int,
+    conv_precision: str = "highest",
+    compute_dtype: str = "float32",
+    quantizer_precision: str = "highest",
+    ema_codebook: bool = False,
+) -> None:
     from vqvae_tpu.config import TrainConfig, VQVAEConfig
     from vqvae_tpu.data.datasets import load_dataset
     from vqvae_tpu.train.vqvae_train import train_vqvae
 
     import jax
 
-    vq_cfg = VQVAEConfig(share_residual_weights=True)
+    vq_cfg = VQVAEConfig(
+        share_residual_weights=True,
+        conv_precision=conv_precision,
+        compute_dtype=compute_dtype,
+        quantizer_precision=quantizer_precision,
+        ema_codebook=ema_codebook,
+    )
     train_cfg = TrainConfig(
         batch_size=batch_size,
         n_updates=steps,
@@ -68,6 +83,10 @@ def run_jax(steps: int, out: str, batch_size: int, seed: int) -> None:
         x_train_var=dataset[2],
         backend=jax.default_backend(),
         wall_seconds=dt,
+        conv_precision=conv_precision,
+        compute_dtype=compute_dtype,
+        quantizer_precision=quantizer_precision,
+        ema_codebook=ema_codebook,
     )
     print(f"saved {out} ({steps} steps in {dt:.0f}s)", flush=True)
 
@@ -173,6 +192,52 @@ def _metric_verdict(torch_finals, jax_finals, lower_is_better=True):
     }
 
 
+def _mode_fleets(art_dir: str):
+    """Committed 5k fleets for the fast-training modes (VERDICT r4 item 1)
+    and the EMA-codebook variant (item 2): mode -> sorted npz paths."""
+    import glob
+
+    fleets = {}
+    for mode, pat in [
+        ("high", "jax_5k_high_seed*.npz"),
+        ("bf16", "jax_5k_bf16_seed*.npz"),
+        ("ema", "jax_5k_ema_seed*.npz"),
+    ]:
+        paths = sorted(glob.glob(os.path.join(art_dir, pat)))
+        if paths:
+            fleets[mode] = paths
+    return fleets
+
+
+_MODE_LABELS = {
+    "high": 'conv_precision="high" (bf16x3 conv passes, fp32 elsewhere)',
+    "bf16": "compute_dtype=bfloat16 + default precisions (the serving recipe)",
+    "ema": "EMA codebook updates (fp32/HIGHEST; algorithm variant)",
+}
+# Measured step-speed multipliers vs the fp32/HIGHEST training default at
+# batch 256 (artifacts/train_bench.json precision-ladder rows).
+_MODE_SPEEDUPS = {"high": "1.77x", "bf16": "4.10x"}
+
+
+def _seed_span(paths) -> str:
+    """Human-readable span of seed numbers in a fleet, flagging gaps."""
+    import re
+
+    seeds = sorted(
+        int(m.group(1))
+        for p in paths
+        for m in [re.search(r"seed(\d+)\.npz$", os.path.basename(p))]
+        if m
+    )
+    if not seeds:
+        return "none"
+    span = f"{seeds[0]}-{seeds[-1]}"
+    missing = sorted(set(range(seeds[0], seeds[-1] + 1)) - set(seeds))
+    if not missing:
+        return f"{span} (contiguous, n={len(seeds)})"
+    return f"{span} missing {missing} (n={len(seeds)})"
+
+
 def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
     ref = np.load(ref_path)
     ours = np.load(jax_path)
@@ -218,6 +283,29 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
     rec = metrics["recon"]
     torch_finals = [_final_window(p) for p in torch_paths]
     jax_finals = [_final_window(p) for p in jax_paths]
+
+    # Fast-training-mode fleets (VERDICT r4 items 1+2): per-mode recon
+    # non-inferiority vs the SAME torch fleet, plus descriptive stats.
+    ladder = {}
+    for mode, paths in _mode_fleets(art_dir).items():
+        mode_recon = [_final_window(p) for p in paths]
+        mode_loss = [_final_window(p, "loss_vals") for p in paths]
+        mode_perp = [_final_window(p, "perplexities") for p in paths]
+        walls = []
+        for p in paths:
+            with np.load(p) as d:
+                if "wall_seconds" in d:
+                    walls.append(float(d["wall_seconds"]))
+        ladder[mode] = {
+            "label": _MODE_LABELS.get(mode, mode),
+            "n": len(paths),
+            "files": [os.path.basename(p) for p in paths],
+            "recon": _metric_verdict(torch_finals, mode_recon),
+            "final_loss_mean": float(np.mean(mode_loss)),
+            "final_perplexity_mean": float(np.mean(mode_perp)),
+            "mean_wall_seconds": float(np.mean(walls)) if walls else None,
+            "step_speedup_vs_default": _MODE_SPEEDUPS.get(mode),
+        }
     t_mean, j_mean = rec["torch_mean"], rec["jax_mean"]
     mean_dev = abs(rec["rel_diff_of_means"])
     in_band = rec["jax_mean_in_torch_band"]
@@ -260,6 +348,7 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         "torch_seed_finals": dict(zip([os.path.basename(p) for p in torch_paths], torch_finals)),
         "jax_seed_finals": dict(zip([os.path.basename(p) for p in jax_paths], jax_finals)),
         "metrics": metrics,
+        "precision_ladder": ladder,
         "torch_mean": t_mean,
         "torch_rel_std": rec["torch_rel_std"],
         "jax_mean": j_mean,
@@ -303,6 +392,12 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         "  (`tools/train_reference_synth.py`). JAX side: this framework on "
         f"{payload['jax_backend']}",
         "  (`tools/parity_5k.py jax`).",
+        "- Seed-inclusion rule (pre-registered, ADVICE r4): every launched seed",
+        "  run is committed and included; no run is excluded for its result.",
+        f"  Torch fleet seeds: {_seed_span(torch_paths)}; "
+        f"jax fleet seeds: {_seed_span(jax_paths)}.",
+        "  (Round 4's torch seeds 37-46 were launched but still in flight at",
+        "  round close; round 5 completed and included them.)",
         "",
         f"## Result — {'PASS' if ok else 'FAIL'}",
         "",
@@ -409,13 +504,41 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
                 "",
             ]
     lines += [
-        "## Precision note",
+        "## Precision-ladder convergence (fast-training modes)",
         "",
-        "TPU MXU convs at lax DEFAULT precision truncate fp32 operands to",
-        "single-pass bf16; a 5k run with bf16 conv gradients converged to 1.14 —",
-        "outside the reference band — which is why the framework defaults to",
-        "`conv_precision=\"highest\"` for training (serving uses",
-        "`compute_dtype=bfloat16`, where the knob is moot).",
+        "Step speed without convergence is not a training mode. Each fast mode",
+        "below ran its own 5k-update seed fleet (identical hyperparams/batch",
+        "schedule; `tools/run_precision_fleet.sh`) and is judged against the",
+        "SAME torch fleet with the same one-sided 95% non-inferiority bound as",
+        "the headline comparison:",
+        "",
+        "| mode | n | final recon mean (rel std) | diff vs torch | adverse "
+        "bound (95%) | verdict | in torch band | step speedup (b256) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for mode, m in ladder.items():
+        r = m["recon"]
+        lines.append(
+            f"| `{mode}` — {m['label']} | {m['n']} | {r['jax_mean']:.4f} "
+            f"({r['jax_rel_std']:.1%}) | {r['rel_diff_of_means']:+.2%} | "
+            f"{r['adverse_bound_95']:+.2%} | **{r['verdict']}** | "
+            f"{'yes' if r['jax_mean_in_torch_band'] else 'no'} | "
+            f"{m['step_speedup_vs_default'] or '—'} |"
+        )
+    lines += [
+        "",
+        "(speedups from the committed step benches,",
+        "`artifacts/train_bench.json` precision-ladder rows at batch 256;",
+        "EMA is an algorithm variant, listed for its convergence behavior,",
+        "its step cost is benched separately — see README. Curves:",
+        "`artifacts/jax_5k_{high,bf16,ema}_seed*.npz`.)",
+        "",
+        "Known negative result, kept for contrast: a 5k run with single-pass",
+        "bf16 conv GRADIENTS (`conv_precision=\"default\"` at fp32 compute)",
+        "converged to recon 1.14 — outside the reference band — which is why",
+        "the training default remains `conv_precision=\"highest\"` and the",
+        "fast modes above carry their own convergence evidence rather than",
+        "an assumption.",
         "",
         "Raw curves: `artifacts/reference_5k_seed*.npz` + ",
         "`artifacts/reference_5k_torchinit.npz` (torch-own-init seeds),",
@@ -445,6 +568,10 @@ def main() -> int:
     pj.add_argument("--batch_size", type=int, default=32)
     pj.add_argument("--seed", type=int, default=0)
     pj.add_argument("--out", type=str, default="artifacts/jax_5k.npz")
+    pj.add_argument("--conv_precision", type=str, default="highest")
+    pj.add_argument("--compute_dtype", type=str, default="float32")
+    pj.add_argument("--quantizer_precision", type=str, default="highest")
+    pj.add_argument("--ema", action="store_true", help="EMA codebook updates")
     pr = sub.add_parser("report")
     pr.add_argument("--ref", type=str, default="artifacts/reference_5k_jaxinit.npz")
     pr.add_argument("--jax", type=str, default="artifacts/jax_5k.npz")
@@ -452,7 +579,16 @@ def main() -> int:
     pr.add_argument("--json", type=str, default="artifacts/parity_5k.json")
     args = ap.parse_args()
     if args.cmd == "jax":
-        run_jax(args.steps, args.out, args.batch_size, args.seed)
+        run_jax(
+            args.steps,
+            args.out,
+            args.batch_size,
+            args.seed,
+            conv_precision=args.conv_precision,
+            compute_dtype=args.compute_dtype,
+            quantizer_precision=args.quantizer_precision,
+            ema_codebook=args.ema,
+        )
         return 0
     return report(args.ref, args.jax, args.md, args.json)
 

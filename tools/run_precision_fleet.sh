@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-5 chip fleet: 5k-update convergence runs for the fast-training modes
+# (VERDICT r4 items 1 and 2). Serial by design — the TPU is single-tenant
+# (see .claude/skills/verify/SKILL.md). Each run ~60-90 s; results written
+# incrementally so a crash loses at most one run.
+#
+#   high : conv_precision="high" (bf16x3 passes)       — the 1.77x mode
+#   bf16 : compute_dtype=bfloat16 + default precisions — the 4.10x mode
+#   ema  : EMA codebook updates (fp32/HIGHEST baseline algo variant)
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR" artifacts
+
+run() { # run <outfile> <seed> <extra args...>
+  local out="$1" seed="$2"; shift 2
+  if [ -f "$out" ]; then echo "skip $out (exists)"; return 0; fi
+  echo "=== $(date +%H:%M:%S) seed=$seed -> $out $*"
+  timeout 900 python -u tools/parity_5k.py jax --steps 5000 \
+    --seed "$seed" --out "$out" "$@" || echo "FAILED $out rc=$?"
+}
+
+for s in 1 2 3 4 5 6 7 8 9 10; do
+  run "artifacts/jax_5k_high_seed${s}.npz" "$s" --conv_precision high
+done
+for s in 1 2 3 4 5 6 7 8 9 10; do
+  run "artifacts/jax_5k_bf16_seed${s}.npz" "$s" \
+    --compute_dtype bfloat16 --conv_precision default --quantizer_precision default
+done
+for s in 1 2 3; do
+  run "artifacts/jax_5k_ema_seed${s}.npz" "$s" --ema
+done
+echo "=== fleet done $(date +%H:%M:%S)"
