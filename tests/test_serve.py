@@ -45,6 +45,9 @@ def test_large_request_spans_waves():
     while not req._event.is_set():
         svc.run_wave()
     assert req.result(0).shape == (10, 4, 4)
+    # occupancy counters (consumed by tools/bench_serve.py): 10 slots over
+    # ceil(10/4)=3 waves of 4
+    assert svc.stats == {"waves": 3, "slots_used": 10}
 
 
 def test_background_thread():

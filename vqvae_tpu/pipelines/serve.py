@@ -80,6 +80,10 @@ class SamplingService:
         self._wave = wave
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # occupancy counters (read by benches/monitoring; guarded by
+        # _wave_lock): waves run and request-serving slots across them —
+        # occupancy = slots_used / (waves * batch_size)
+        self.stats = {"waves": 0, "slots_used": 0}
 
     # -- synchronous API ------------------------------------------------------
 
@@ -143,6 +147,8 @@ class SamplingService:
             if req._remaining == 0:
                 req._result = np.concatenate(req._chunks)
                 req._event.set()
+        self.stats["waves"] += 1
+        self.stats["slots_used"] += used
         return used
 
     # -- background serving ---------------------------------------------------
