@@ -138,6 +138,67 @@ def test_http_server_roundtrip():
         svc.stop()
 
 
+def test_http_decode_wire_formats():
+    """POST /sample decode leg: default b64_u8 (raw uint8 bytes, [-1,1] ->
+    [0,255]) decodes back to the same images as the float-list format."""
+    import base64
+    import json
+    import urllib.request
+
+    from vqvae_tpu.pipelines.serve import SamplingHTTPServer
+
+    cfg, svc = _make(batch=4)
+    svc.start()
+
+    def decode_fn(codes):
+        # deterministic fake decoder: one [-1,1] "pixel" per code
+        return (np.asarray(codes, np.float32)[..., None] / cfg.input_dim) * 2.0 - 1.0
+
+    server = SamplingHTTPServer(svc, decode_fn=decode_fn, port=0)
+    server.start_background()
+    host, port = server.address
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://{host}:{port}/sample", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        out64 = post({"label": 1, "n_samples": 3, "decode": True})
+        assert out64["images_dtype"] == "uint8"
+        u8 = np.frombuffer(
+            base64.b64decode(out64["images_b64"]), np.uint8
+        ).reshape(out64["images_shape"])
+        assert u8.shape == (3, 4, 4, 1)
+
+        outl = post({"label": 1, "n_samples": 3, "decode": True,
+                     "image_format": "list"})
+        imgs = np.asarray(outl["images"], np.float32)
+        # same quantization applied host-side to the float images matches the
+        # wire bytes exactly (not the same codes — waves are independent —
+        # so compare through the decode of each response's own codes)
+        expect = np.clip(
+            (decode_fn(np.asarray(out64["codes"])) + 1.0) * 127.5, 0, 255
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(u8, expect)
+        assert imgs.shape == (3, 4, 4, 1)
+        assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+
+        # unknown format -> 400
+        try:
+            post({"label": 0, "n_samples": 1, "decode": True,
+                  "image_format": "tiff"})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        svc.stop()
+
+
 def test_latent_sampling_schemes():
     """Notebook cells 10-12: uniform-random and histogram code sampling."""
     import jax as _jax

@@ -31,7 +31,7 @@ from vqvae_tpu.models.pixelcnn_sampler import CachedPixelCNNSampler
 
 
 def bench(batch_size: int, side: int = 8, repeats: int = 6,
-          include_band: bool = False) -> dict:
+          include_band: bool = False, include_naive: bool = True) -> dict:
     """One row at (batch_size, side x side grids). ``include_band`` adds the
     depth-limited band row refresh (models/pixelcnn_sampler.py, VERDICT r4
     item 5) as a third scheme — its vertical work is O(1) per row in H
@@ -51,7 +51,7 @@ def bench(batch_size: int, side: int = 8, repeats: int = 6,
             method=model.generate,
         )
     )
-    schemes = [("naive_full_forward", naive)]
+    schemes = [("naive_full_forward", naive)] if include_naive else []
     refreshes = ["full", "band"] if include_band else ["full"]
     for mode in refreshes:
         schemes.append((
@@ -80,8 +80,10 @@ def bench(batch_size: int, side: int = 8, repeats: int = 6,
     cached_best = min(
         v["ms_per_batch"] for k, v in out.items() if k.startswith("cached")
     )
-    speedup = out["naive_full_forward"]["ms_per_batch"] / cached_best
-    print(f"cached speedup over reference-style naive: {speedup:.2f}x")
+    speedup = None
+    if include_naive:
+        speedup = out["naive_full_forward"]["ms_per_batch"] / cached_best
+        print(f"cached speedup over reference-style naive: {speedup:.2f}x")
     return {"batch_size": batch_size, "side": side, "speedup": speedup, **out}
 
 
@@ -91,10 +93,18 @@ def main() -> int:
     ap.add_argument("--side", type=int, default=8, help="grid side (H=W)")
     ap.add_argument("--band", action="store_true",
                     help="also bench the band-limited row refresh")
+    ap.add_argument("--no_naive", action="store_true",
+                    help="skip the naive per-pixel-full-forward baseline "
+                         "(at 32x32/batch>=1024 its (B, K, H, W) logit "
+                         "materialization per pixel crashes the TPU worker)")
     ap.add_argument("--out", type=str, default=None,
                     help="write results to this JSON artifact (e.g. artifacts/sampler.json)")
     args = ap.parse_args()
-    rows = [bench(b, side=args.side, include_band=args.band) for b in args.batch_sizes]
+    rows = [
+        bench(b, side=args.side, include_band=args.band,
+              include_naive=not args.no_naive)
+        for b in args.batch_sizes
+    ]
     if args.out:
         payload = {
             "metric": f"{args.side}x{args.side} grids/sec, cached incremental "

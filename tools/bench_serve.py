@@ -38,6 +38,7 @@ def run_bench(
     mixed_sizes,
     decode_every: int,
     prior_layers: int,
+    image_format: str = "b64_u8",
 ) -> dict:
     import jax
 
@@ -78,9 +79,10 @@ def run_bench(
 
     import http.client
 
-    def one_request(conn, label, n, decode):
+    def one_request(conn, label, n, decode, image_format="b64_u8"):
         body = json.dumps(
-            {"label": label, "n_samples": n, "decode": decode}
+            {"label": label, "n_samples": n, "decode": decode,
+             "image_format": image_format}
         ).encode()
         t0 = time.perf_counter()
         conn.request(
@@ -92,12 +94,16 @@ def run_bench(
         assert resp.status == 200, payload
         assert len(payload["codes"]) == n
         if decode:
-            assert len(payload["images"]) == n
+            if image_format == "list":
+                assert len(payload["images"]) == n
+            else:
+                assert payload["images_shape"][0] == n
+                assert len(payload["images_b64"]) > 0
         return dt
 
     # -- warmup: compile the wave + decode jits outside the timed window -----
     conn = http.client.HTTPConnection(host, port, timeout=600)
-    one_request(conn, 0, 2, True)
+    one_request(conn, 0, 2, True, image_format)
     one_request(conn, 0, wave_batch + 1, False)  # multi-wave path
     conn.close()
     service.stats = {"waves": 0, "slots_used": 0}
@@ -112,7 +118,7 @@ def run_bench(
             for r in range(requests_per_client):
                 n = mixed_sizes[(cid + r) % len(mixed_sizes)]
                 decode = decode_every > 0 and r % decode_every == 0
-                dt = one_request(conn, cid % 10, n, decode)
+                dt = one_request(conn, cid % 10, n, decode, image_format)
                 with lat_lock:
                     lat.append((n, decode, dt))
         except Exception as e:  # pragma: no cover - surfaced in payload
@@ -145,6 +151,7 @@ def run_bench(
         "requests": len(lat),
         "request_mix_n_samples": list(mixed_sizes),
         "decode_every": decode_every,
+        "image_format": image_format,
         "prior_layers": prior_layers,
         "wall_seconds": wall,
         "grids_per_sec": total_grids / wall,
@@ -172,12 +179,15 @@ def main() -> int:
     ap.add_argument("--decode_every", type=int, default=4,
                     help="every k-th request per client also decodes to images")
     ap.add_argument("--prior_layers", type=int, default=15)
+    ap.add_argument("--image_format", type=str, default="b64_u8",
+                    choices=["b64_u8", "list"])
     ap.add_argument("--out", type=str, default="artifacts/serve_bench.json")
     args = ap.parse_args()
 
     row = run_bench(
         args.wave_batch, args.clients, args.requests_per_client,
         args.sizes, args.decode_every, args.prior_layers,
+        image_format=args.image_format,
     )
     payload = {
         "metric": "SamplingService+HTTP end-to-end under concurrent mixed-size "

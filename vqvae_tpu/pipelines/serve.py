@@ -183,8 +183,14 @@ class SamplingHTTPServer:
 
     - ``GET /healthz`` -> ``{"ok": true, "pending": N}``
     - ``POST /sample`` with ``{"label": int, "n_samples": int,
-      "decode": bool}`` -> ``{"codes": [[...]], "images": [[...]]?}``
-      (images only when a VQ-VAE decoder was attached and ``decode`` is true).
+      "decode": bool, "image_format": "b64_u8"|"list"}`` ->
+      ``{"codes": [[...]], ...}`` plus, when a VQ-VAE decoder is attached and
+      ``decode`` is true, the decoded images: by default base64-encoded raw
+      uint8 NHWC bytes (``images_b64``/``images_shape``/``images_dtype``;
+      [-1,1] floats mapped to [0,255] via (x+1)*127.5 — ~15x smaller and
+      ~50x cheaper to serialize than JSON float lists, which dominated
+      end-to-end latency on the serving bench), or ``"list"`` for the
+      float nested-list format.
 
     One device, many clients: requests from concurrent connections are packed
     into the same lockstep waves by the service's background thread, so
@@ -232,10 +238,26 @@ class SamplingHTTPServer:
                     count = int(req.get("n_samples", 1))
                     if not (0 < count <= 4096):
                         raise ValueError("n_samples out of range")
+                    fmt = req.get("image_format", "b64_u8")
+                    if fmt not in ("b64_u8", "list"):
+                        raise ValueError(f"unknown image_format {fmt!r}")
                     codes = svc.submit(label, count).result(timeout=600)
                     out = {"label": label, "codes": codes.tolist()}
                     if decode_fn is not None and req.get("decode", False):
-                        out["images"] = np.asarray(decode_fn(codes)).tolist()
+                        imgs = np.asarray(decode_fn(codes))
+                        if fmt == "list":
+                            out["images"] = imgs.tolist()
+                        else:
+                            import base64
+
+                            u8 = np.clip(
+                                (imgs + 1.0) * 127.5, 0.0, 255.0
+                            ).astype(np.uint8)
+                            out["images_b64"] = base64.b64encode(
+                                u8.tobytes()
+                            ).decode("ascii")
+                            out["images_shape"] = list(u8.shape)
+                            out["images_dtype"] = "uint8"
                     self._send(200, out)
                 except Exception as e:  # surface errors to the client
                     self._send(400, {"error": str(e)})
