@@ -163,6 +163,7 @@ def main() -> int:
             r for r in rows
             if r["batch_size"] == 256 and r.get("steps_per_dispatch") == "window"
             and r.get("conv_precision", "highest") == "highest"
+            and not r.get("ema_codebook")  # algorithm variant, benched apart
         ]
         # Same row filter as `ref` (ADVICE r4): a future --append run at
         # another batch/spd must not be silently quoted under the b256 key.
@@ -170,6 +171,7 @@ def main() -> int:
             r for r in rows
             if r.get("compute_dtype") == "bfloat16"
             and r["batch_size"] == 256 and r.get("steps_per_dispatch") == "window"
+            and not r.get("ema_codebook")
         ]
         if ref:
             out["train_images_per_sec_per_chip_b256"] = round(
