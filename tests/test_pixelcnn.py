@@ -67,10 +67,10 @@ def test_causality(small_model):
 
 def _copy_params_to_torch_pixelcnn(params, tmodel, n_layers):
     def t_conv(w):
-        return torch.from_numpy(np.asarray(w).transpose(3, 2, 0, 1)).clone()
+        return torch.from_numpy(np.asarray(w).transpose(3, 2, 0, 1).copy())
 
     def t_vec(v):
-        return torch.from_numpy(np.asarray(v)).clone()
+        return torch.from_numpy(np.asarray(v).copy())
 
     sd = {"embedding.weight": t_vec(params["embedding"])}
     for i in range(n_layers):

@@ -202,6 +202,7 @@ def _mode_fleets(art_dir: str):
         ("high", "jax_5k_high_seed*.npz"),
         ("bf16", "jax_5k_bf16_seed*.npz"),
         ("ema", "jax_5k_ema_seed*.npz"),
+        ("ema_bf16", "jax_5k_ema_bf16_seed*.npz"),
     ]:
         paths = sorted(glob.glob(os.path.join(art_dir, pat)))
         if paths:
@@ -213,10 +214,11 @@ _MODE_LABELS = {
     "high": 'conv_precision="high" (bf16x3 conv passes, fp32 elsewhere)',
     "bf16": "compute_dtype=bfloat16 + default precisions (the serving recipe)",
     "ema": "EMA codebook updates (fp32/HIGHEST; algorithm variant)",
+    "ema_bf16": "EMA codebook + full bfloat16 (fastest mode x quality variant)",
 }
 # Measured step-speed multipliers vs the fp32/HIGHEST training default at
 # batch 256 (artifacts/train_bench.json precision-ladder rows).
-_MODE_SPEEDUPS = {"high": "1.77x", "bf16": "4.10x"}
+_MODE_SPEEDUPS = {"high": "1.77x", "bf16": "4.10x", "ema_bf16": "~4.1x"}
 
 
 def _seed_span(paths) -> str:

@@ -302,6 +302,8 @@ def cmd_profile(args) -> int:
         n_embeddings=args.n_embeddings,
         beta=args.beta,
         compute_dtype=args.compute_dtype,
+        quantizer_precision=args.quantizer_precision,
+        ema_codebook=args.ema_codebook,
     )
     trainer = VQVAETrainer(vq_cfg, TrainConfig(batch_size=args.batch_size),
                            x_train_var=x_train_var)
