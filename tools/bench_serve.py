@@ -106,7 +106,11 @@ def run_bench(
     one_request(conn, 0, 2, True, image_format)
     one_request(conn, 0, wave_batch + 1, False)  # multi-wave path
     conn.close()
-    service.stats = {"waves": 0, "slots_used": 0}
+    # reset under the wave lock: the background thread increments stats
+    # AFTER setting the request event, so an unsynchronized reset could let
+    # the last warmup wave's counts land in the fresh dict
+    with service._wave_lock:
+        service.stats = {"waves": 0, "slots_used": 0}
 
     lat = []  # (n_samples, decode, seconds)
     lat_lock = threading.Lock()

@@ -216,9 +216,43 @@ _MODE_LABELS = {
     "ema": "EMA codebook updates (fp32/HIGHEST; algorithm variant)",
     "ema_bf16": "EMA codebook + full bfloat16 (fastest mode x quality variant)",
 }
-# Measured step-speed multipliers vs the fp32/HIGHEST training default at
-# batch 256 (artifacts/train_bench.json precision-ladder rows).
-_MODE_SPEEDUPS = {"high": "1.77x", "bf16": "4.10x", "ema_bf16": "~4.1x"}
+
+
+def _mode_speedups(art_dir: str):
+    """Step-speed multiplier per mode vs the fp32/HIGHEST default, computed
+    from the committed batch-256 whole-window rows in train_bench.json (so
+    the ladder table can never drift from the artifact of record)."""
+
+    def pick(rows, **want):
+        sel = [
+            r for r in rows
+            if r["batch_size"] == 256
+            and r.get("steps_per_dispatch") == "window"
+            and r.get("conv_precision", "highest") == want["conv"]
+            and r.get("compute_dtype", "float32") == want["dtype"]
+            and bool(r.get("ema_codebook")) == want["ema"]
+        ]
+        return sel[-1]["step_ms"] if sel else None
+
+    try:
+        with open(os.path.join(art_dir, "train_bench.json")) as f:
+            rows = json.load(f)["rows"]
+    except Exception:
+        return {}
+    base = pick(rows, conv="highest", dtype="float32", ema=False)
+    if not base:
+        return {}
+    out = {}
+    for mode, want in [
+        ("high", dict(conv="high", dtype="float32", ema=False)),
+        ("bf16", dict(conv="default", dtype="bfloat16", ema=False)),
+        ("ema", dict(conv="highest", dtype="float32", ema=True)),
+        ("ema_bf16", dict(conv="default", dtype="bfloat16", ema=True)),
+    ]:
+        ms = pick(rows, **want)
+        if ms:
+            out[mode] = f"{base / ms:.2f}x"
+    return out
 
 
 def _seed_span(paths) -> str:
@@ -289,6 +323,7 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
     # Fast-training-mode fleets (VERDICT r4 items 1+2): per-mode recon
     # non-inferiority vs the SAME torch fleet, plus descriptive stats.
     ladder = {}
+    speedups = _mode_speedups(art_dir)
     for mode, paths in _mode_fleets(art_dir).items():
         mode_recon = [_final_window(p) for p in paths]
         mode_loss = [_final_window(p, "loss_vals") for p in paths]
@@ -306,7 +341,7 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
             "final_loss_mean": float(np.mean(mode_loss)),
             "final_perplexity_mean": float(np.mean(mode_perp)),
             "mean_wall_seconds": float(np.mean(walls)) if walls else None,
-            "step_speedup_vs_default": _MODE_SPEEDUPS.get(mode),
+            "step_speedup_vs_default": speedups.get(mode),
         }
     t_mean, j_mean = rec["torch_mean"], rec["jax_mean"]
     mean_dev = abs(rec["rel_diff_of_means"])
@@ -550,11 +585,17 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
                 if r["batch_size"] == 256
                 and r.get("steps_per_dispatch") == "window"
                 and r.get("conv_precision", "highest") == "highest"
+                and r.get("compute_dtype", "float32") == "float32"
                 and not r.get("ema_codebook")
             ]
+            # matched precision: this section describes the fp32/HIGHEST EMA
+            # variant, so exclude the ema+bf16 row (quoted separately)
             ema_rows = [
                 r for r in tb_rows
                 if r.get("ema_codebook") and r["batch_size"] == 256
+                and r.get("steps_per_dispatch") == "window"
+                and r.get("compute_dtype", "float32") == "float32"
+                and r.get("conv_precision", "highest") == "highest"
             ]
             if base and ema_rows:
                 ema_cost = (base[-1]["step_ms"], ema_rows[-1]["step_ms"])

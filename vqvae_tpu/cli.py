@@ -302,8 +302,10 @@ def cmd_profile(args) -> int:
         n_embeddings=args.n_embeddings,
         beta=args.beta,
         compute_dtype=args.compute_dtype,
+        conv_precision=args.conv_precision,
         quantizer_precision=args.quantizer_precision,
         ema_codebook=args.ema_codebook,
+        ema_decay=args.ema_decay,
     )
     trainer = VQVAETrainer(vq_cfg, TrainConfig(batch_size=args.batch_size),
                            x_train_var=x_train_var)
