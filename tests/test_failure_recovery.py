@@ -112,3 +112,55 @@ def test_fault_injector_fires_once():
     with pytest.raises(InjectedFault):
         inj(5)
     inj(5)  # second pass over the same step: no raise
+
+
+def test_ema_checkpoint_reloads_via_stored_hyperparameters(tmp_path):
+    """Loading a checkpoint must rebuild the model from the checkpoint's OWN
+    stored hyperparameters, not the loader's flags (reference load_model
+    semantics). Regression: the r5 e2e run trained with --ema_codebook and
+    extract-latents crashed on the strict v2 tree match ('unexpected leaves
+    ema_counts/ema_means') because it rebuilt a non-EMA template from CLI
+    defaults."""
+    from types import SimpleNamespace
+
+    from vqvae_tpu.train.checkpoint import (
+        load_checkpoint,
+        peek_hyperparameters,
+        save_checkpoint,
+    )
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+    from vqvae_tpu.cli import _vqvae_cfg_for_checkpoint
+
+    vq_cfg = VQVAEConfig(
+        n_hiddens=16, n_residual_hiddens=8, n_embeddings=32, embedding_dim=8,
+        ema_codebook=True, compute_dtype="bfloat16",
+        quantizer_precision="default",
+    )
+    train_cfg = TrainConfig(batch_size=4)
+    trainer = VQVAETrainer(vq_cfg, train_cfg, x_train_var=1.0)
+    state = trainer.init_state()
+    path = str(tmp_path / "ema_ckpt.npz")
+    save_checkpoint(
+        path, state, step=7,
+        hyperparameters={**train_cfg.to_dict(), **vq_cfg.to_dict()},
+    )
+
+    hp = peek_hyperparameters(path)
+    assert hp["ema_codebook"] is True and hp["compute_dtype"] == "bfloat16"
+
+    # the CLI helper must reconstruct the EMA config regardless of the
+    # loading process's (default, non-EMA) flags
+    default_flags = SimpleNamespace(
+        n_hiddens=128, n_residual_hiddens=32, n_residual_layers=2,
+        embedding_dim=64, n_embeddings=512, beta=0.25,
+        share_residual_weights=False,
+    )
+    cfg2 = _vqvae_cfg_for_checkpoint(path, default_flags)
+    assert cfg2 == vq_cfg
+
+    trainer2 = VQVAETrainer(cfg2, TrainConfig(), x_train_var=1.0)
+    state2, step, _, _ = load_checkpoint(path, trainer2.init_state())
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(state2.ema_means), np.asarray(state.ema_means)
+    )

@@ -89,6 +89,49 @@ def _mesh_cfg(args) -> MeshConfig:
     )
 
 
+def _saved_hp(path: str) -> dict:
+    """Hyperparameters stored in a checkpoint ({} for legacy/v1 files)."""
+    from vqvae_tpu.train.checkpoint import peek_hyperparameters
+
+    try:
+        return peek_hyperparameters(path)
+    except Exception:
+        return {}
+
+
+def _vqvae_cfg_for_checkpoint(path: str, args) -> VQVAEConfig:
+    """Config for LOADING a VQ-VAE checkpoint: prefer the checkpoint's own
+    stored hyperparameters (reference load_model semantics,
+    visualization.ipynb cell 1) over the loading process's flags — a
+    non-default mode like --ema_codebook changes the state tree, so
+    rebuilding from flags fails the strict v2 tree match (or worse,
+    cross-loads a different architecture)."""
+    hp = _saved_hp(path)
+    if hp:
+        return VQVAEConfig.from_dict(hp)
+    return VQVAEConfig(
+        n_hiddens=args.n_hiddens,
+        n_residual_hiddens=args.n_residual_hiddens,
+        n_residual_layers=args.n_residual_layers,
+        embedding_dim=args.embedding_dim,
+        n_embeddings=args.n_embeddings,
+        beta=args.beta,
+        share_residual_weights=args.share_residual_weights,
+    )
+
+
+def _pixelcnn_cfg_for_checkpoint(path: str, args) -> PixelCNNConfig:
+    """Config for LOADING a prior checkpoint — same contract as
+    :func:`_vqvae_cfg_for_checkpoint`."""
+    hp = _saved_hp(path)
+    if hp:
+        return PixelCNNConfig.from_dict(hp)
+    return PixelCNNConfig(
+        input_dim=args.n_embeddings, dim=args.img_dim ** 2,
+        n_layers=args.n_layers, img_dim=args.img_dim,
+    )
+
+
 def cmd_train_vqvae(args) -> int:
     from vqvae_tpu.parallel.distributed import maybe_initialize_distributed
     from vqvae_tpu.train.vqvae_train import train_vqvae
@@ -138,15 +181,7 @@ def cmd_extract_latents(args) -> int:
     from vqvae_tpu.train.vqvae_train import TrainConfig as _TC, VQVAETrainer
 
     train_ds, val_ds, x_train_var, _info = load_dataset(args.dataset, args.data_dir)
-    vq_cfg = VQVAEConfig(
-        n_hiddens=args.n_hiddens,
-        n_residual_hiddens=args.n_residual_hiddens,
-        n_residual_layers=args.n_residual_layers,
-        embedding_dim=args.embedding_dim,
-        n_embeddings=args.n_embeddings,
-        beta=args.beta,
-        share_residual_weights=args.share_residual_weights,
-    )
+    vq_cfg = _vqvae_cfg_for_checkpoint(args.checkpoint, args)
     trainer = VQVAETrainer(vq_cfg, TrainConfig(), x_train_var=x_train_var)
     template = trainer.init_state()
     state, step, _, _ = load_checkpoint(args.checkpoint, template)
@@ -195,19 +230,8 @@ def cmd_sample(args) -> int:
 
     import jax
 
-    vq_cfg = VQVAEConfig(
-        n_hiddens=args.n_hiddens,
-        n_residual_hiddens=args.n_residual_hiddens,
-        n_residual_layers=args.n_residual_layers,
-        embedding_dim=args.embedding_dim,
-        n_embeddings=args.n_embeddings,
-        beta=args.beta,
-        share_residual_weights=args.share_residual_weights,
-    )
-    pc_cfg = PixelCNNConfig(
-        input_dim=args.n_embeddings, dim=args.img_dim ** 2,
-        n_layers=args.n_layers, img_dim=args.img_dim,
-    )
+    vq_cfg = _vqvae_cfg_for_checkpoint(args.vqvae_checkpoint, args)
+    pc_cfg = _pixelcnn_cfg_for_checkpoint(args.prior_checkpoint, args)
     vq_trainer = VQVAETrainer(vq_cfg, TrainConfig())
     vq_state, _, _, _ = load_checkpoint(args.vqvae_checkpoint, vq_trainer.init_state())
     pc_trainer = PixelCNNTrainer(pc_cfg, TrainConfig())
@@ -245,10 +269,7 @@ def cmd_serve(args) -> int:
     from vqvae_tpu.train.pixelcnn_train import PixelCNNTrainer
     from vqvae_tpu.train.vqvae_train import VQVAETrainer
 
-    pc_cfg = PixelCNNConfig(
-        input_dim=args.n_embeddings, dim=args.img_dim ** 2,
-        n_layers=args.n_layers, img_dim=args.img_dim,
-    )
+    pc_cfg = _pixelcnn_cfg_for_checkpoint(args.prior_checkpoint, args)
     pc_trainer = PixelCNNTrainer(pc_cfg, TrainConfig())
     pc_state, _, _, _ = load_checkpoint(args.prior_checkpoint, pc_trainer.init_state())
     service = SamplingService(
@@ -257,15 +278,7 @@ def cmd_serve(args) -> int:
 
     decode_fn = None
     if args.vqvae_checkpoint:
-        vq_cfg = VQVAEConfig(
-            n_hiddens=args.n_hiddens,
-            n_residual_hiddens=args.n_residual_hiddens,
-            n_residual_layers=args.n_residual_layers,
-            embedding_dim=args.embedding_dim,
-            n_embeddings=args.n_embeddings,
-            beta=args.beta,
-            share_residual_weights=args.share_residual_weights,
-        )
+        vq_cfg = _vqvae_cfg_for_checkpoint(args.vqvae_checkpoint, args)
         vq_trainer = VQVAETrainer(vq_cfg, TrainConfig())
         vq_state, _, _, _ = load_checkpoint(
             args.vqvae_checkpoint, vq_trainer.init_state()

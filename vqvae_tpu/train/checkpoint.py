@@ -133,6 +133,20 @@ def load_checkpoint(path: str, state_template) -> Tuple[Any, int, Dict, Dict]:
     return state, meta["step"], meta.get("metrics", {}), meta.get("hyperparameters", {})
 
 
+def peek_hyperparameters(path: str) -> Dict:
+    """Read a checkpoint's stored hyperparameters WITHOUT a state template.
+
+    The reference contract (visualization.ipynb cell 1 ``load_model``):
+    rebuild the model from what the checkpoint says it is, never from
+    whatever flags the loading process happens to have — otherwise any
+    non-default architecture/mode (e.g. ``ema_codebook``, whose EMA stats
+    live in the state tree) fails the strict v2 tree match or silently
+    cross-loads."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+    return meta.get("hyperparameters", {}) or {}
+
+
 class AsyncCheckpointer:
     """Orbax-style async checkpointing (SURVEY.md §5 failure-recovery row).
 
