@@ -164,3 +164,73 @@ def test_ema_checkpoint_reloads_via_stored_hyperparameters(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state2.ema_means), np.asarray(state.ema_means)
     )
+
+
+def test_resume_flag_mismatch_fails_actionably(tmp_path):
+    """Resuming with flags that disagree with the checkpoint on a
+    tree-affecting model field must name the field, not emit a raw
+    'unexpected leaves' tree error."""
+    from vqvae_tpu.train.checkpoint import (
+        check_hyperparameters_compatible,
+        save_checkpoint,
+    )
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+    vq_cfg = VQVAEConfig(
+        n_hiddens=16, n_residual_hiddens=8, n_embeddings=32, embedding_dim=8,
+        ema_codebook=True,
+    )
+    trainer = VQVAETrainer(vq_cfg, TrainConfig(batch_size=4), x_train_var=1.0)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, trainer.init_state(), step=3,
+                    hyperparameters=vq_cfg.to_dict())
+
+    with pytest.raises(ValueError, match="ema_codebook"):
+        check_hyperparameters_compatible(
+            path, vq_cfg.replace(ema_codebook=False).to_dict(),
+            ("n_embeddings", "ema_codebook"),
+        )
+    # matching flags pass silently
+    check_hyperparameters_compatible(
+        path, vq_cfg.to_dict(), ("n_embeddings", "ema_codebook")
+    )
+
+
+def test_checkpoint_cfg_helper_sanitizes_backend_and_honors_flags(tmp_path):
+    """(a) quantizer_impl is execution dispatch, not model identity: a
+    checkpoint trained with impl='pallas' must load as 'auto' so CPU hosts
+    work; (b) legacy checkpoints (no stored hyperparameters) fall back to
+    the CLI's mode flags including --ema_codebook."""
+    from types import SimpleNamespace
+
+    import json as _json
+
+    from vqvae_tpu.cli import _vqvae_cfg_for_checkpoint
+    from vqvae_tpu.train.checkpoint import save_checkpoint
+    from vqvae_tpu.train.vqvae_train import VQVAETrainer
+
+    vq_cfg = VQVAEConfig(
+        n_hiddens=16, n_residual_hiddens=8, n_embeddings=32, embedding_dim=8,
+        quantizer_impl="pallas",
+    )
+    trainer = VQVAETrainer(vq_cfg, TrainConfig(batch_size=4), x_train_var=1.0)
+    path = str(tmp_path / "pallas.npz")
+    save_checkpoint(path, trainer.init_state(), step=1,
+                    hyperparameters=vq_cfg.to_dict())
+    cfg = _vqvae_cfg_for_checkpoint(path, SimpleNamespace())
+    assert cfg.quantizer_impl == "auto"
+    assert cfg.replace(quantizer_impl="pallas") == vq_cfg
+
+    # legacy file: a bare npz without __meta__ -> flag fallback with modes
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(legacy, something=np.zeros(3))
+    flags = SimpleNamespace(
+        n_hiddens=16, n_residual_hiddens=8, n_residual_layers=2,
+        embedding_dim=8, n_embeddings=32, beta=0.25,
+        share_residual_weights=False, compute_dtype="bfloat16",
+        conv_precision="default", quantizer_precision="default",
+        ema_codebook=True, ema_decay=0.95,
+    )
+    cfg2 = _vqvae_cfg_for_checkpoint(legacy, flags)
+    assert cfg2.ema_codebook is True and cfg2.ema_decay == 0.95
+    assert cfg2.compute_dtype == "bfloat16"

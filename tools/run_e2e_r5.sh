@@ -33,16 +33,17 @@ python -u -m vqvae_tpu.cli sample --vqvae-checkpoint "$CKPT" \
   --out "$OUT/samples.npz" --png "$OUT/samples_grid.png" 2>&1 | tee "$OUT/sample.log"
 T4=$(date +%s)
 
-python - "$T0" "$T1" "$T2" "$T3" "$T4" <<'PY'
+python - "$OUT" "$T0" "$T1" "$T2" "$T3" "$T4" <<'PY'
 import json, sys
-t = [int(x) for x in sys.argv[1:]]
+out = sys.argv[1]
+t = [int(x) for x in sys.argv[2:]]
 json.dump({
     "train_vqvae_5k_s": t[1]-t[0],
     "extract_latents_s": t[2]-t[1],
     "train_prior_100ep_s": t[3]-t[2],
     "sample_10x10_s": t[4]-t[3],
     "total_s": t[4]-t[0],
-}, open("artifacts/e2e_r5/wall_times.json", "w"), indent=2)
+}, open(f"{out}/wall_times.json", "w"), indent=2)
 print("wall times:", t[4]-t[0], "s total")
 PY
 echo "E2E DONE"

@@ -90,12 +90,14 @@ def _mesh_cfg(args) -> MeshConfig:
 
 
 def _saved_hp(path: str) -> dict:
-    """Hyperparameters stored in a checkpoint ({} for legacy/v1 files)."""
+    """Hyperparameters stored in a checkpoint ({} for legacy files without
+    ``__meta__``). Corrupt files (bad zip/JSON) raise — masking those as
+    "legacy" would send the user down a misleading flag-mismatch path."""
     from vqvae_tpu.train.checkpoint import peek_hyperparameters
 
     try:
         return peek_hyperparameters(path)
-    except Exception:
+    except KeyError:
         return {}
 
 
@@ -108,7 +110,11 @@ def _vqvae_cfg_for_checkpoint(path: str, args) -> VQVAEConfig:
     cross-loads a different architecture)."""
     hp = _saved_hp(path)
     if hp:
-        return VQVAEConfig.from_dict(hp)
+        # quantizer_impl is pure execution-backend dispatch, not model
+        # identity: a TPU-trained checkpoint with impl="pallas" must still
+        # load on a CPU host, so re-resolve it here ("auto" falls back to
+        # the XLA path off-TPU).
+        return VQVAEConfig.from_dict(hp).replace(quantizer_impl="auto")
     return VQVAEConfig(
         n_hiddens=args.n_hiddens,
         n_residual_hiddens=args.n_residual_hiddens,
@@ -117,6 +123,13 @@ def _vqvae_cfg_for_checkpoint(path: str, args) -> VQVAEConfig:
         n_embeddings=args.n_embeddings,
         beta=args.beta,
         share_residual_weights=args.share_residual_weights,
+        # mode flags the same subparsers define — a legacy EMA checkpoint
+        # is loadable by passing --ema_codebook etc. explicitly
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
+        conv_precision=getattr(args, "conv_precision", "highest"),
+        quantizer_precision=getattr(args, "quantizer_precision", "highest"),
+        ema_codebook=getattr(args, "ema_codebook", False),
+        ema_decay=getattr(args, "ema_decay", 0.99),
     )
 
 

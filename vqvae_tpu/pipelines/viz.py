@@ -31,13 +31,9 @@ def load_model(
 ) -> Tuple[VQVAETrainer, TrainState, Dict, Dict]:
     """Rebuild a VQVAE trainer+state from a checkpoint's stored hyperparameters
     (the notebook's ``load_model``, cell 1)."""
-    import numpy as _np
+    from vqvae_tpu.train.checkpoint import peek_hyperparameters
 
-    with _np.load(checkpoint_path, allow_pickle=False) as data:
-        import json
-
-        meta = json.loads(str(data["__meta__"]))
-    hp = meta.get("hyperparameters", {})
+    hp = peek_hyperparameters(checkpoint_path)
     vq_cfg = VQVAEConfig.from_dict(hp) if hp else VQVAEConfig()
     train_cfg = TrainConfig.from_dict(hp) if hp else TrainConfig()
     trainer = VQVAETrainer(

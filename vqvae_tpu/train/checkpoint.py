@@ -147,6 +147,37 @@ def peek_hyperparameters(path: str) -> Dict:
     return meta.get("hyperparameters", {}) or {}
 
 
+def check_hyperparameters_compatible(
+    path: str, current: Dict, fields: Tuple[str, ...]
+) -> None:
+    """Fail FAST with the real cause when resuming with mismatched flags.
+
+    The strict v2 tree match already refuses wrong-architecture loads, but
+    its error ('unexpected leaves ...') does not say WHY. Before a resume
+    load, compare the tree-affecting ``fields`` of the current config
+    against the checkpoint's stored hyperparameters and raise an actionable
+    message naming each mismatch. Legacy checkpoints (no stored
+    hyperparameters) are skipped."""
+    hp = peek_hyperparameters(path)
+    if not hp:
+        return
+    mismatched = {
+        k: (hp[k], current[k])
+        for k in fields
+        if k in hp and k in current and hp[k] != current[k]
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{k}: checkpoint={s!r} vs flags={c!r}"
+            for k, (s, c) in sorted(mismatched.items())
+        )
+        raise ValueError(
+            f"cannot resume {path!r} with mismatched model flags ({detail}); "
+            "pass flags matching the checkpoint (its full config is stored "
+            "in the file's hyperparameters metadata)"
+        )
+
+
 class AsyncCheckpointer:
     """Orbax-style async checkpointing (SURVEY.md §5 failure-recovery row).
 

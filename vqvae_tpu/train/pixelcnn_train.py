@@ -309,6 +309,12 @@ def train_pixelcnn(
     history = {"train_loss": [], "val_loss": []}
     start_epoch = 1
     if resume and save_path and os.path.exists(save_path):
+        from vqvae_tpu.train.checkpoint import check_hyperparameters_compatible
+
+        check_hyperparameters_compatible(
+            save_path, cfg.to_dict(),
+            ("input_dim", "dim", "n_layers", "n_classes"),
+        )
         state, saved_epoch, saved_hist, _hp = load_checkpoint(save_path, state)
         state = jax.device_put(state, trainer._rep)
         history = {k: list(v) for k, v in saved_hist.items()

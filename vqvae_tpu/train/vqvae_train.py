@@ -359,10 +359,23 @@ def train_vqvae(
     name = train_cfg.filename or readable_timestamp()
     start_step = 0
     if resume:
-        from vqvae_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+        from vqvae_tpu.train.checkpoint import (
+            check_hyperparameters_compatible,
+            latest_checkpoint,
+            load_checkpoint,
+        )
 
         ckpt = latest_checkpoint(train_cfg.results_dir, name)
         if ckpt is not None:
+            # actionable error when flags disagree with the checkpoint on
+            # tree-affecting model fields (e.g. resuming an --ema_codebook
+            # run without the flag)
+            check_hyperparameters_compatible(
+                ckpt, vq_cfg.to_dict(),
+                ("in_channels", "n_hiddens", "n_residual_hiddens",
+                 "n_residual_layers", "embedding_dim", "n_embeddings",
+                 "share_residual_weights", "ema_codebook"),
+            )
             state, step, saved_metrics, _hp = load_checkpoint(ckpt, state)
             state = put_global(state, trainer._state_shard)
             history = MetricHistory.from_dict(saved_metrics)
