@@ -34,7 +34,11 @@ def _windows(batch_size: int):
     return 30, 180
 
 
-def bench_batch(batch_size: int) -> dict:
+def bench_batch(
+    batch_size: int,
+    compute_dtype: str = "float32",
+    conv_precision: str = "highest",
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +46,10 @@ def bench_batch(batch_size: int) -> dict:
     from vqvae_tpu.train.pixelcnn_train import PixelCNNTrainer
 
     steps_lo, steps_hi = _windows(batch_size)
-    cfg = PixelCNNConfig()  # reference defaults: 15 layers, dim 64, 512 codes
+    # reference defaults: 15 layers, dim 64, 512 codes
+    cfg = PixelCNNConfig(
+        compute_dtype=compute_dtype, conv_precision=conv_precision
+    )
     train_cfg = TrainConfig(batch_size=batch_size)
     trainer = PixelCNNTrainer(cfg, train_cfg)
     state = trainer.init_state()
@@ -87,6 +94,8 @@ def bench_batch(batch_size: int) -> dict:
     return {
         "model": "pixelcnn_prior",
         "batch_size": batch_size,
+        "compute_dtype": compute_dtype,
+        "conv_precision": conv_precision,
         "step_ms": per_step * 1e3,
         "grids_per_sec_per_chip": per_chip,
         "train_flops_per_grid": flops,
@@ -105,6 +114,10 @@ def bench_batch(batch_size: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[32, 256])
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--conv_precision", type=str, default="highest",
+                    choices=["highest", "high", "default"])
     ap.add_argument("--out", type=str, default="artifacts/train_bench.json")
     args = ap.parse_args()
 
@@ -117,10 +130,15 @@ def main() -> int:
         "prior_reference_workload", "/root/reference/pixelcnn/gated_pixelcnn.py:78-111"
     )
     for b in args.batches:
-        r = bench_batch(b)
-        # re-measuring a batch size REPLACES its row — reruns must not
-        # accumulate conflicting duplicates in the artifact of record
-        rows[:] = [x for x in rows if x.get("batch_size") != b] + [r]
+        r = bench_batch(b, args.compute_dtype, args.conv_precision)
+        # re-measuring a config REPLACES its row (keyed on batch + precision
+        # mode) — reruns must not accumulate conflicting duplicates
+        key = (b, args.compute_dtype, args.conv_precision)
+        rows[:] = [
+            x for x in rows
+            if (x.get("batch_size"), x.get("compute_dtype", "float32"),
+                x.get("conv_precision", "highest")) != key
+        ] + [r]
         mfu = f"{r['train_mfu']:.4f}" if r["train_mfu"] is not None else "n/a"
         print(
             f"prior batch {b:5d}: {r['step_ms']:.3f} ms/step, "

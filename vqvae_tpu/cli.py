@@ -215,6 +215,8 @@ def cmd_train_prior(args) -> int:
         dim=args.img_dim ** 2,
         n_layers=args.n_layers,
         img_dim=args.img_dim,
+        compute_dtype=args.compute_dtype,
+        conv_precision=args.conv_precision,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
@@ -412,6 +414,12 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--gen_samples", action="store_true",
                     help="generate 10x10 class-conditional samples each epoch "
                          "(reference gated_pixelcnn.py:143-149)")
+    tp.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="prior conv-stack compute dtype (bfloat16 = the "
+                         "2.9x fast mode; params stay fp32)")
+    tp.add_argument("--conv_precision", type=str, default="highest",
+                    choices=["highest", "high", "default"])
     tp.add_argument("--resume", action="store_true",
                     help="resume from the saved prior checkpoint")
     tp.add_argument("--steps_per_dispatch", type=int, default=1,
