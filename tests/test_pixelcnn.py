@@ -130,3 +130,35 @@ def test_generate_shapes_and_range(small_model):
     out = np.asarray(out)
     assert out.shape == (4, 8, 8)
     assert out.min() >= 0 and out.max() < cfg.input_dim
+
+
+def test_bfloat16_compute_dtype_is_consumed():
+    """compute_dtype=bfloat16 must actually change the arithmetic (the r5
+    review caught the flag wired into config but never consumed): logits stay
+    fp32 outwardly, track the fp32 model loosely, and differ bitwise from it
+    (proof the bf16 path ran)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae_tpu.config import PixelCNNConfig
+    from vqvae_tpu.models.pixelcnn import GatedPixelCNN
+
+    cfg32 = PixelCNNConfig(input_dim=32, dim=16, n_layers=3)
+    cfg16 = PixelCNNConfig(
+        input_dim=32, dim=16, n_layers=3,
+        compute_dtype="bfloat16", conv_precision="default",
+    )
+    m32, m16 = GatedPixelCNN(cfg32), GatedPixelCNN(cfg16)
+    grid = jnp.asarray(
+        np.random.default_rng(0).integers(0, 32, (2, 8, 8)), jnp.int32
+    )
+    label = jnp.zeros((2,), jnp.int32)
+    params = m32.init(jax.random.PRNGKey(0), grid, label)["params"]
+
+    l32 = m32.apply({"params": params}, grid, label)
+    l16 = m16.apply({"params": params}, grid, label)
+    assert l16.dtype == jnp.float32  # fp32 logits for the CE loss
+    assert not np.array_equal(np.asarray(l32), np.asarray(l16))  # bf16 ran
+    np.testing.assert_allclose(
+        np.asarray(l16), np.asarray(l32), rtol=0.1, atol=0.05
+    )

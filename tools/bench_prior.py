@@ -104,8 +104,9 @@ def bench_batch(
         "backend": jax.default_backend(),
         "windows": [steps_lo, steps_hi],
         "note": (
-            "reference prior config (fp32, conv_precision=highest); data "
-            "device-resident; tiny 8x8x{64,128}-channel convs keep the "
+            f"prior config at compute_dtype={compute_dtype}, "
+            f"conv_precision={conv_precision} (reference trains fp32/highest); "
+            "data device-resident; tiny 8x8x{64,128}-channel convs keep the "
             "bf16-peak MFU denominator far above what this shape can fill"
         ),
     }

@@ -431,10 +431,14 @@ def report(ref_path: str, jax_path: str, md_out: str, json_out: str) -> int:
         "  (`tools/parity_5k.py jax`).",
         "- Seed-inclusion rule (pre-registered, ADVICE r4): every launched seed",
         "  run is committed and included; no run is excluded for its result.",
-        f"  Torch fleet seeds: {_seed_span(torch_paths)}; "
-        f"jax fleet seeds: {_seed_span(jax_paths)}.",
+        f"  Torch fleet: seeds {_seed_span(torch_paths)} plus the torch-own-",
+        "  init seed-0 run (`reference_5k_torchinit.npz`); jax fleet: seeds",
+        f"  {_seed_span(jax_paths)} plus the seed-0 run (`jax_5k.npz`) — the",
+        "  two unseeded-filename runs are independent samples and are counted",
+        "  in every n below (hence n = seed-count + 1 per side).",
         "  (Round 4's torch seeds 37-46 were launched but still in flight at",
-        "  round close; round 5 completed and included them.)",
+        "  round close; round 5 completed and included them, then both fleets",
+        "  were grown further.)",
         "",
         f"## Result — {'PASS' if ok else 'FAIL'}",
         "",

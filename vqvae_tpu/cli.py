@@ -416,8 +416,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(reference gated_pixelcnn.py:143-149)")
     tp.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"],
-                    help="prior conv-stack compute dtype (bfloat16 = the "
-                         "2.9x fast mode; params stay fp32)")
+                    help="prior conv-stack compute dtype (bfloat16 with "
+                         "--conv_precision default = the 3.76x fast mode; "
+                         "params stay fp32)")
     tp.add_argument("--conv_precision", type=str, default="highest",
                     choices=["highest", "high", "default"])
     tp.add_argument("--resume", action="store_true",

@@ -82,7 +82,12 @@ class GatedMaskedConv2d(nn.Module):
             hmask = jnp.ones((1, k // 2 + 1, 1, 1), w_horiz.dtype).at[:, -1].set(0.0)
             w_horiz = w_horiz * hmask
 
-        h_cls = jnp.take(class_embed, label, axis=0)[:, None, None, :]  # (B,1,1,2d)
+        # follow the activation dtype (params stay fp32; conv2d casts its
+        # weights likewise) so a bf16 compute_dtype is not silently promoted
+        # back to fp32 at the first class-conditional add
+        h_cls = jnp.take(class_embed, label, axis=0)[:, None, None, :].astype(
+            x_v.dtype
+        )  # (B,1,1,2d)
 
         p = self.precision
         hgt = x_v.shape[1]
@@ -121,7 +126,13 @@ class GatedPixelCNN(nn.Module):
         embedding = self.param(
             "embedding", normal_embedding_init(), (cfg.input_dim, cfg.dim)
         )
-        h = jnp.take(embedding, x, axis=0)  # (B, H, W, dim)
+        # conv stacks run in config.compute_dtype (params stay fp32 and are
+        # cast per-op; mirrors VQVAE's serving recipe, models/vqvae.py:67-77);
+        # logits are returned in fp32 for the CE loss
+        compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        h = jnp.take(embedding, x, axis=0).astype(compute_dtype)  # (B,H,W,dim)
 
         x_v, x_h = h, h
         for i in range(cfg.n_layers):
@@ -138,7 +149,8 @@ class GatedPixelCNN(nn.Module):
         w_out2 = self.param("out2_w", xavier_uniform_conv(), (1, 1, 512, cfg.input_dim))
         b_out2 = self.param("out2_b", _zeros_bias, (cfg.input_dim,))
         out = nn.relu(conv2d(x_h, w_out1, b_out1, precision=cfg.conv_precision))
-        return conv2d(out, w_out2, b_out2, precision=cfg.conv_precision)
+        logits = conv2d(out, w_out2, b_out2, precision=cfg.conv_precision)
+        return logits.astype(jnp.float32)
 
     def generate(self, label, rng, shape: Tuple[int, int] = (8, 8), batch_size: int = 64):
         """Autoregressive sampling: one full forward per pixel inside a fused

@@ -65,6 +65,11 @@ class CachedPixelCNNSampler:
         equality at H=16 and H=32).
     """
 
+    # NOTE: the cached decoder always computes in fp32 regardless of
+    # cfg.compute_dtype (its einsums promote fp32 params): serving keeps full
+    # sampling accuracy, and the teacher-forced logit-parity oracle applies
+    # at fp32 configs. cfg.compute_dtype=bfloat16 is the prior's TRAINING
+    # fast mode (models/pixelcnn.py).
     def __init__(self, cfg: PixelCNNConfig, params, row_refresh: str = "auto"):
         self.cfg = cfg
         self.params = params
