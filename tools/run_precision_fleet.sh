@@ -24,7 +24,7 @@ run() { # run <outfile> <seed> <extra args...>
     --seed "$seed" --out "$out" "$@" || echo "FAILED $out rc=$?"
 }
 
-for s in 1 2 3 4 5 6 7 8 9 10; do
+for s in $(seq 1 20); do
   run "artifacts/jax_5k_high_seed${s}.npz" "$s" --conv_precision high
 done
 for s in $(seq 1 20); do
